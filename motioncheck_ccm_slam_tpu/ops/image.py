@@ -1,0 +1,97 @@
+"""Image-level ops for the ORB front-end: pyramid, Gaussian blur.
+
+Replaces the OpenCV image path of the reference extractor
+(reference: src/ORBextractor.cpp:1280 ComputePyramid, GaussianBlur call in
+ComputeDescriptors). Everything is static-shape jnp so the whole 8-level
+front-end compiles into one XLA program.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pyramid_shapes(height: int, width: int, n_levels: int, scale: float) -> List[Tuple[int, int]]:
+    """Static (H, W) per pyramid level, matching the reference's rounding
+    (cvRound(w / scale^l))."""
+    shapes = []
+    for l in range(n_levels):
+        inv = 1.0 / (scale ** l)
+        shapes.append((int(round(height * inv)), int(round(width * inv))))
+    return shapes
+
+
+def build_pyramid(img, n_levels: int, scale: float):
+    """Grayscale (H, W) f32 -> list of per-level images (static shapes).
+
+    Bilinear resize from the previous level like the reference (iterative
+    resize accumulates the same blur cascade OpenCV produces).
+    """
+    h, w = img.shape
+    shapes = pyramid_shapes(h, w, n_levels, scale)
+    levels = [img]
+    for l in range(1, n_levels):
+        prev = levels[-1]
+        levels.append(
+            jax.image.resize(prev, shapes[l], method="bilinear", antialias=False)
+        )
+    return levels
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    half = ksize // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur of (H, W) f32, SAME border (edge replicate)."""
+    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    half = ksize // 2
+    # pad with edge replication like cv::BORDER_REFLECT_101-ish (edge is fine
+    # for a 7px kernel at image borders)
+    x = jnp.pad(img, ((half, half), (half, half)), mode="edge")
+    # horizontal then vertical pass via conv on (N=1, C=1, H, W)
+    x4 = x[None, None]
+    kh = k.reshape(1, 1, 1, ksize)
+    kv = k.reshape(1, 1, ksize, 1)
+    dn = jax.lax.conv_dimension_numbers(x4.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    y = jax.lax.conv_general_dilated(x4, kh, (1, 1), "VALID", dimension_numbers=dn)
+    y = jax.lax.conv_general_dilated(y, kv, (1, 1), "VALID", dimension_numbers=dn)
+    return y[0, 0]
+
+
+def bilinear_sample(img, xy):
+    """Sample (H, W) image at float coords xy (..., 2) = (x, y) with clamping."""
+    h, w = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def nearest_sample(img, xy):
+    """Sample (H, W) image at rounded coords xy (..., 2) = (x, y)."""
+    h, w = img.shape
+    x = jnp.clip(jnp.round(xy[..., 0]), 0, w - 1).astype(jnp.int32)
+    y = jnp.clip(jnp.round(xy[..., 1]), 0, h - 1).astype(jnp.int32)
+    return img[y, x]

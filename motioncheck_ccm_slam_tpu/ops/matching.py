@@ -1,0 +1,257 @@
+"""Batched ORB descriptor matching.
+
+TPU-native replacement for the reference's ORBmatcher search battery
+(reference: src/ORBmatcher.cpp / include/cslam/ORBmatcher.h:101-141 —
+SearchByProjection x4, SearchByBoW, SearchForInitialization,
+SearchForTriangulation, SearchBySim3, Fuse, DescriptorDistance).
+
+Instead of per-feature grid lookups and Hamming loops, every search mode is
+expressed as: (1) a dense popcount Hamming distance matrix between two
+descriptor blocks, (2) a boolean candidate mask built from the mode's spatial
+/ octave / epipolar constraints, (3) a masked best + second-best reduction
+with the ratio test, (4) duplicate resolution by scatter-min, (5) the
+rotation-histogram consistency filter. All steps are jnp over fixed-capacity
+blocks — the 48x75 feature grid of the reference (Frame.h:51-52) is
+unnecessary because the full distance matrix is cheap on the VPU.
+
+Thresholds mirror the reference: TH_LOW=50, TH_HIGH=100, HISTO_LENGTH=30.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+
+_BIG = jnp.int32(1 << 20)
+
+
+def popcount_u32(x):
+    """Per-element popcount of a uint32 array (classic SWAR bit-twiddle)."""
+    x = x.astype(jnp.uint32)
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def hamming_matrix(d1, d2):
+    """(N, 8) u32 x (M, 8) u32 -> (N, M) i32 Hamming distances (0..256).
+
+    Replaces ORBmatcher::DescriptorDistance (src/ORBmatcher.cpp popcount
+    loop) with a broadcast XOR + SWAR popcount over the whole block.
+    """
+    x = d1[:, None, :] ^ d2[None, :, :]
+    return jnp.sum(popcount_u32(x), axis=-1)
+
+
+def hamming_rows(d1, d2):
+    """Row-wise Hamming distance of aligned descriptor blocks (N, 8)."""
+    return jnp.sum(popcount_u32(d1 ^ d2), axis=-1)
+
+
+class MatchResult(NamedTuple):
+    """For each query row: best target index, distance, validity."""
+
+    idx: jax.Array    # (Q,) i32 — index into target block (undefined if !ok)
+    dist: jax.Array   # (Q,) i32
+    ok: jax.Array     # (Q,) bool
+
+
+def masked_best_match(dist, mask, max_dist: int, nn_ratio: float = 1.0) -> MatchResult:
+    """Best match per query row under a candidate mask + ratio test.
+
+    dist: (Q, K) i32; mask: (Q, K) bool candidates. A match passes if
+    best <= max_dist and best < nn_ratio * second_best (ratio skipped when
+    nn_ratio >= 1).
+    """
+    d = jnp.where(mask, dist, _BIG)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    # second best: mask out the winner
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(_BIG)
+    second = jnp.min(d2, axis=1)
+    ok = best <= max_dist
+    if nn_ratio < 1.0:
+        ok = ok & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    return MatchResult(idx=best_idx, dist=best, ok=ok)
+
+
+def resolve_duplicates(match: MatchResult, n_targets: int) -> MatchResult:
+    """Keep only the lowest-distance query per target feature.
+
+    The reference resolves double-assignments by erasing the worse match
+    (e.g. SearchByProjection replace logic); here it's a scatter-min over the
+    target index.
+    """
+    tgt = jnp.where(match.ok, match.idx, n_targets)  # park invalid in slot n
+    best_per_tgt = jnp.full((n_targets + 1,), _BIG, jnp.int32).at[tgt].min(match.dist)
+    keep = match.ok & (match.dist <= best_per_tgt[tgt])
+    # tie-break: if two queries share the same best distance, keep the lowest
+    # query index
+    qidx = jnp.arange(match.idx.shape[0], dtype=jnp.int32)
+    first_q = jnp.full((n_targets + 1,), _BIG, jnp.int32).at[tgt].min(
+        jnp.where(keep, qidx, _BIG)
+    )
+    keep = keep & (first_q[tgt] == qidx)
+    return MatchResult(idx=match.idx, dist=match.dist, ok=keep)
+
+
+def rotation_consistency(angle_q, angle_t, ok, n_keep: int = 3):
+    """Rotation-histogram filter (reference ComputeThreeMaxima + HISTO check).
+
+    angle_q/angle_t: (Q,) radians of matched feature pairs; ok: (Q,) current
+    match validity. Returns refined validity keeping only matches whose
+    angular offset falls in the n_keep most popular of HISTO_LENGTH bins.
+    """
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(angle_q - angle_t, two_pi)
+    bins = jnp.clip(
+        (rot * (HISTO_LENGTH / two_pi)).astype(jnp.int32), 0, HISTO_LENGTH - 1
+    )
+    counts = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[
+        jnp.where(ok, bins, HISTO_LENGTH - 1)
+    ].add(jnp.where(ok, 1, 0))
+    top_counts, top_bins = jax.lax.top_k(counts, n_keep)
+    # reference drops bins below 10% of the max bin
+    thres = (0.1 * top_counts[0].astype(jnp.float32)).astype(jnp.int32)
+    keep_bin = jnp.zeros((HISTO_LENGTH,), bool)
+    for i in range(n_keep):
+        keep_bin = keep_bin.at[top_bins[i]].set(top_counts[i] >= jnp.maximum(thres, 1))
+    return ok & keep_bin[bins]
+
+
+# ---------------------------------------------------------------------------
+# Search modes
+# ---------------------------------------------------------------------------
+
+def window_mask(uv_q, uv_t, radius):
+    """(Q, 2) x (T, 2) -> (Q, T) bool: |du| and |dv| within radius.
+
+    radius may be scalar or per-query (Q,).
+    """
+    du = jnp.abs(uv_q[:, None, 0] - uv_t[None, :, 0])
+    dv = jnp.abs(uv_q[:, None, 1] - uv_t[None, :, 1])
+    r = jnp.asarray(radius)
+    if r.ndim == 1:
+        r = r[:, None]
+    return (du <= r) & (dv <= r)
+
+
+def octave_mask(oct_pred, oct_t, lo_delta: int = 1, hi_delta: int = 1):
+    """(Q,) x (T,) -> (Q, T) bool: target octave within [pred-lo, pred+hi]
+    (reference SearchByProjection level constraints)."""
+    d = oct_t[None, :] - oct_pred[:, None]
+    return (d >= -lo_delta) & (d <= hi_delta)
+
+
+def search_by_projection(
+    desc_q, uv_proj, octave_pred, valid_q,
+    desc_t, uv_t, octave_t, valid_t,
+    radius, max_dist: int = TH_HIGH, nn_ratio: float = 1.0,
+    use_octave: bool = True,
+) -> MatchResult:
+    """Projection-guided search (reference SearchByProjection family).
+
+    Query = map points projected into the frame (uv_proj, predicted octave);
+    target = the frame's features. Returns per-query match into the feature
+    block with duplicates resolved.
+    """
+    dist = hamming_matrix(desc_q, desc_t)
+    mask = window_mask(uv_proj, uv_t, radius)
+    if use_octave:
+        mask = mask & octave_mask(octave_pred, octave_t)
+    mask = mask & valid_q[:, None] & valid_t[None, :]
+    m = masked_best_match(dist, mask, max_dist, nn_ratio)
+    return resolve_duplicates(MatchResult(m.idx, m.dist, m.ok & valid_q), desc_t.shape[0])
+
+
+def search_for_initialization(
+    desc1, uv1, valid1, desc2, uv2, valid2,
+    window: float = 100.0, max_dist: int = TH_LOW, nn_ratio: float = 0.9,
+    angle1=None, angle2=None, check_rotation: bool = True,
+) -> MatchResult:
+    """2-view bootstrap matching (reference SearchForInitialization):
+    windowed search + ratio test + rotation consistency, duplicates
+    resolved mutually."""
+    dist = hamming_matrix(desc1, desc2)
+    mask = window_mask(uv1, uv2, window) & valid1[:, None] & valid2[None, :]
+    m = masked_best_match(dist, mask, max_dist, nn_ratio)
+    m = MatchResult(m.idx, m.dist, m.ok & valid1)
+    m = resolve_duplicates(m, desc2.shape[0])
+    if check_rotation and angle1 is not None:
+        ang_t = angle2[m.idx]
+        m = MatchResult(m.idx, m.dist, rotation_consistency(angle1, ang_t, m.ok))
+    return m
+
+
+def mutual_match(desc1, valid1, desc2, valid2, max_dist: int = TH_LOW,
+                 nn_ratio: float = 1.0) -> MatchResult:
+    """Unconstrained mutual best match (used where the reference does
+    BoW-node-constrained brute force — SearchByBoW; with full-matrix popcount
+    on TPU the node constraint is a perf trick we don't need, but we keep the
+    mutual-consistency requirement it implied)."""
+    dist = hamming_matrix(desc1, desc2)
+    mask = valid1[:, None] & valid2[None, :]
+    fwd = masked_best_match(dist, mask, max_dist, nn_ratio)
+    bwd = masked_best_match(dist.T, mask.T, max_dist, nn_ratio)
+    mutual = bwd.idx[fwd.idx] == jnp.arange(desc1.shape[0])
+    return MatchResult(fwd.idx, fwd.dist, fwd.ok & bwd.ok[fwd.idx] & mutual & valid1)
+
+
+def epipolar_line_distance(uv, F_line):
+    """Distance of points (N, 2) to epipolar lines (N, 3) (a, b, c)."""
+    a, b, c = F_line[:, 0], F_line[:, 1], F_line[:, 2]
+    num = jnp.abs(a * uv[:, 0] + b * uv[:, 1] + c)
+    den = jnp.sqrt(a * a + b * b)
+    return num / jnp.maximum(den, 1e-9)
+
+
+def search_for_triangulation(
+    desc1, uv1, valid1, desc2, uv2, valid2, F12,
+    inv_sigma2_t, octave2,
+    max_dist: int = TH_LOW, epi_chi2: float = 3.84,
+) -> MatchResult:
+    """Epipolar-constrained matching for new map-point creation (reference
+    SearchForTriangulation): candidate features in KF2 must lie near the
+    epipolar line of the KF1 feature under F12 (fundamental KF1->KF2)."""
+    dist = hamming_matrix(desc1, desc2)
+    # epipolar lines in image 2 for each uv1: l2 = F12^T? Convention: F12 maps
+    # x2^T F12 x1 = 0, line in img2 = F12 @ x1_h
+    ones = jnp.ones((uv1.shape[0], 1), uv1.dtype)
+    x1h = jnp.concatenate([uv1, ones], -1)
+    lines2 = x1h @ F12.T  # (N1, 3)
+    # distance of every uv2 to every line: (N1, N2)
+    d_num = jnp.abs(
+        lines2[:, 0:1] * uv2[None, :, 0]
+        + lines2[:, 1:2] * uv2[None, :, 1]
+        + lines2[:, 2:3]
+    )
+    d_den = jnp.sqrt(lines2[:, 0:1] ** 2 + lines2[:, 1:2] ** 2)
+    epi_d2 = (d_num / jnp.maximum(d_den, 1e-9)) ** 2
+    # chi2 gate scaled by octave sigma of the candidate (reference: 3.84 *
+    # sigma2 of kp2's octave)
+    gate = epi_chi2 / inv_sigma2_t[octave2][None, :]
+    mask = (epi_d2 < gate) & valid1[:, None] & valid2[None, :]
+    m = masked_best_match(dist, mask, max_dist)
+    m = MatchResult(m.idx, m.dist, m.ok & valid1)
+    return resolve_duplicates(m, desc2.shape[0])
+
+
+def fuse_by_projection(
+    mp_desc, uv_proj, mp_octave_pred, mp_valid,
+    kf_desc, kf_uv, kf_octave, kf_valid,
+    radius, max_dist: int = TH_LOW,
+) -> MatchResult:
+    """Landmark fusion matching (reference ORBmatcher::Fuse): project map
+    points into a keyframe and match strictly. The caller decides
+    replace-vs-add using the returned associations."""
+    return search_by_projection(
+        mp_desc, uv_proj, mp_octave_pred, mp_valid,
+        kf_desc, kf_uv, kf_octave, kf_valid,
+        radius, max_dist=max_dist, nn_ratio=1.0,
+    )

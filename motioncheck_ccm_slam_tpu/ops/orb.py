@@ -1,0 +1,326 @@
+"""TPU-native ORB feature extraction.
+
+Functional equivalent of the reference extractor (reference:
+src/ORBextractor.cpp — ComputePyramid :1280, ComputeKeyPointsOctTree :933,
+computeOrientation :641, computeOrbDescriptor :100, operator() :1216),
+re-designed for XLA/VPU instead of per-pixel C++ loops:
+
+- FAST-9/16 is evaluated densely for the whole level as 16 shifted image
+  views + boolean ring-run reductions (pure elementwise VPU work, no
+  branches).
+- The two-threshold retry (iniThFAST=20 then minThFAST=7, per 30px cell) is a
+  cell-level ``where``: cells that found no high-threshold corner fall back to
+  the low-threshold response map.
+- The quadtree keypoint distribution becomes per-cell top-k followed by a
+  global per-level top-K_l — same spatial-uniformity goal, fully batched.
+- Orientation (IC angle, circular patch r=15) and steered BRIEF (256 pairs,
+  Gaussian-blurred image) are batched gathers over all keypoints at once.
+
+The BRIEF sampling pattern is generated from a fixed-seed Gaussian like the
+original BRIEF paper (we do NOT reuse OpenCV's learned table; extractor and
+matcher are both ours, so only internal consistency matters).
+
+Descriptors are bit-packed to (K, 8) uint32 for popcount matching
+(see ops/matching.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExtractorParams
+from . import image as image_ops
+
+# ---------------------------------------------------------------------------
+# Static tables
+# ---------------------------------------------------------------------------
+
+# FAST ring: 16 contiguous (dx, dy) offsets of the radius-3 Bresenham circle.
+_FAST_RING = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+
+_FAST_ARC = 9  # FAST-9: need >= 9 contiguous ring pixels all brighter/darker
+
+
+@functools.lru_cache(maxsize=None)
+def _ic_angle_mask(half_patch: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Circular patch mask + coordinate grids for the intensity-centroid
+    angle (reference IC_Angle with the umax row table)."""
+    r = half_patch
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    mask = (dx * dx + dy * dy) <= r * r
+    return mask.astype(np.float32), dx.astype(np.float32), dy.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 1234) -> np.ndarray:
+    """(n_bits, 4) int table of (x1, y1, x2, y2) BRIEF test offsets.
+
+    Gaussian sampling (sigma = patch/5, clamped) per the BRIEF paper's G-II
+    variant; deterministic via fixed seed.
+    """
+    rng = np.random.default_rng(seed)
+    sigma = patch / 5.0
+    lim = patch // 2 - 2  # keep rotated samples inside the 31x31 disc
+    pts = np.clip(np.round(rng.normal(0.0, sigma, size=(n_bits, 4))), -lim, lim)
+    return pts.astype(np.float32)
+
+
+def level_feature_budgets(max_features: int, n_levels: int, scale: float) -> List[int]:
+    """Per-level feature counts, geometric in 1/scale like the reference
+    (ORBextractor ctor: mnFeaturesPerLevel)."""
+    f = 1.0 / scale
+    total = (1.0 - f) / (1.0 - f ** n_levels)
+    budgets = [int(round(max_features * total * (f ** l))) for l in range(n_levels)]
+    budgets[-1] += max_features - sum(budgets)
+    return budgets
+
+
+# ---------------------------------------------------------------------------
+# FAST corner response (dense, per level)
+# ---------------------------------------------------------------------------
+
+def fast_response(img, threshold: float):
+    """Dense FAST-9/16 response map for a (H, W) f32 image.
+
+    Returns (is_corner, score): boolean map and a response map
+    (sum of thresholded ring residuals — a smooth, NMS-friendly proxy for
+    OpenCV's arc-min score).
+    """
+    h, w = img.shape
+    p = jnp.pad(img, 3, mode="edge")
+    ring = []
+    for dx, dy in np.asarray(_FAST_RING):
+        ring.append(jax.lax.dynamic_slice(p, (3 + int(dy), 3 + int(dx)), (h, w)))
+    ring = jnp.stack(ring)  # (16, H, W)
+    diff = ring - img[None]
+    bright = diff > threshold
+    dark = diff < -threshold
+
+    def has_arc(mask):
+        # wrap-around contiguous run of >= _FAST_ARC
+        m2 = jnp.concatenate([mask, mask[: _FAST_ARC - 1]], axis=0)  # (24, H, W)
+        out = jnp.zeros(img.shape, dtype=bool)
+        for r in range(16):
+            run = m2[r]
+            for j in range(1, _FAST_ARC):
+                run = run & m2[r + j]
+            out = out | run
+        return out
+
+    corner = has_arc(bright) | has_arc(dark)
+    score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
+    score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+    # exclude 3px border (ring would read padded values)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return corner & interior, score
+
+
+def _nms3(score):
+    """3x3 non-max suppression: True where score is the local max."""
+    p = jnp.pad(score, 1, mode="constant", constant_values=-jnp.inf)
+    h, w = score.shape
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh.append(jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w)))
+    m = jnp.max(jnp.stack(neigh), axis=0)
+    return score > m  # strict > breaks plateaus deterministically
+
+
+# ---------------------------------------------------------------------------
+# Per-level keypoint selection
+# ---------------------------------------------------------------------------
+
+def _select_level_keypoints(img, params: ExtractorParams, k_level: int,
+                            cell: int = 32, k_cell: int = 8):
+    """Detect + spatially distribute up to k_level keypoints on one level.
+
+    Returns xy (k_level, 2) f32 (level coords), score (k_level,), valid mask.
+    """
+    h, w = img.shape
+    corner_hi, score_hi = fast_response(img, float(params.ini_th_fast))
+    corner_lo, score_lo = fast_response(img, float(params.min_th_fast))
+
+    # border exclusion for orientation/descriptor sampling
+    b = params.edge_threshold
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    ok_border = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
+    corner_hi = corner_hi & ok_border
+    corner_lo = corner_lo & ok_border
+
+    # pad to cell multiples
+    hp = (h + cell - 1) // cell * cell
+    wp = (w + cell - 1) // cell * cell
+    def to_cells(x, fill):
+        xp = jnp.pad(x, ((0, hp - h), (0, wp - w)), constant_values=fill)
+        return xp.reshape(hp // cell, cell, wp // cell, cell).transpose(0, 2, 1, 3)
+
+    hi_in_cell = jnp.any(to_cells(corner_hi, False), axis=(2, 3))  # (Hc, Wc)
+
+    # two-threshold retry: cells without any high-threshold corner use the
+    # low-threshold detection (reference ComputeKeyPointsOctTree retry loop)
+    use_hi = hi_in_cell[:, :, None, None]
+    corner = jnp.where(use_hi, to_cells(corner_hi, False), to_cells(corner_lo, False))
+    score = jnp.where(use_hi, to_cells(score_hi, 0.0), to_cells(score_lo, 0.0))
+
+    # NMS within the full map: stitch cells back, NMS, re-cell
+    corner_map = corner.transpose(0, 2, 1, 3).reshape(hp, wp)
+    score_map = score.transpose(0, 2, 1, 3).reshape(hp, wp)
+    masked_score = jnp.where(corner_map, score_map, 0.0)
+    keep = _nms3(masked_score) & corner_map
+    final_score = jnp.where(keep, masked_score, 0.0)
+
+    # per-cell top-k (final_score is already (hp, wp))
+    cells = (
+        final_score.reshape(hp // cell, cell, wp // cell, cell)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, cell * cell)
+    )  # (ncells, c*c)
+    vals, idx = jax.lax.top_k(cells, k_cell)  # (ncells, k_cell)
+    ncells_y, ncells_x = hp // cell, wp // cell
+    cy = jnp.arange(ncells_y * ncells_x) // ncells_x
+    cx = jnp.arange(ncells_y * ncells_x) % ncells_x
+    py = cy[:, None] * cell + idx // cell
+    px = cx[:, None] * cell + idx % cell
+
+    # global top-k_level over cell winners
+    flat_vals = vals.reshape(-1)
+    flat_y = py.reshape(-1)
+    flat_x = px.reshape(-1)
+    top_vals, top_i = jax.lax.top_k(flat_vals, k_level)
+    sel_y = flat_y[top_i].astype(jnp.float32)
+    sel_x = flat_x[top_i].astype(jnp.float32)
+    valid = top_vals > 0.0
+    xy = jnp.stack([sel_x, sel_y], -1)
+    return xy, top_vals, valid
+
+
+# ---------------------------------------------------------------------------
+# Orientation + descriptors (batched over keypoints)
+# ---------------------------------------------------------------------------
+
+def ic_angles(img, xy, half_patch: int):
+    """Intensity-centroid angles (radians) for keypoints xy (K, 2) on img."""
+    mask, dxg, dyg = _ic_angle_mask(half_patch)
+    mask = jnp.asarray(mask)
+    dxg = jnp.asarray(dxg)
+    dyg = jnp.asarray(dyg)
+    h, w = img.shape
+    x0 = jnp.clip(jnp.round(xy[:, 0]), half_patch, w - 1 - half_patch).astype(jnp.int32)
+    y0 = jnp.clip(jnp.round(xy[:, 1]), half_patch, h - 1 - half_patch).astype(jnp.int32)
+    yy = y0[:, None, None] + jnp.asarray(dyg, jnp.int32)
+    xx = x0[:, None, None] + jnp.asarray(dxg, jnp.int32)
+    patch = img[yy, xx]  # (K, P, P)
+    m10 = jnp.sum(patch * dxg * mask, axis=(1, 2))
+    m01 = jnp.sum(patch * dyg * mask, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(img_blur, xy, angles):
+    """Steered BRIEF-256 for keypoints (K, 2) with orientations (K,).
+
+    Returns (K, 8) uint32 bit-packed descriptors.
+    """
+    pat = jnp.asarray(_brief_pattern())  # (256, 4) x1 y1 x2 y2
+    c = jnp.cos(angles)[:, None]
+    s = jnp.sin(angles)[:, None]
+
+    def rotate(px, py):
+        rx = px[None, :] * c - py[None, :] * s
+        ry = px[None, :] * s + py[None, :] * c
+        return rx, ry
+
+    r1x, r1y = rotate(pat[:, 0], pat[:, 1])  # (K, 256)
+    r2x, r2y = rotate(pat[:, 2], pat[:, 3])
+    p1 = jnp.stack([xy[:, 0:1] + r1x, xy[:, 1:2] + r1y], -1)
+    p2 = jnp.stack([xy[:, 0:1] + r2x, xy[:, 1:2] + r2y], -1)
+    v1 = image_ops.nearest_sample(img_blur, p1)
+    v2 = image_ops.nearest_sample(img_blur, p2)
+    bits = (v1 < v2).astype(jnp.uint32)  # (K, 256)
+    # pack 256 bits -> 8 uint32 words
+    k = bits.shape[0]
+    words = bits.reshape(k, 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Full extractor
+# ---------------------------------------------------------------------------
+
+class OrbFeatures(NamedTuple):
+    """SoA feature block for one frame, fixed capacity K = max_features.
+
+    xy is in level-0 (full-resolution) pixel coordinates; octave is the
+    pyramid level; response the FAST score; angle radians; desc bit-packed
+    (K, 8) uint32; valid marks live slots.
+    """
+
+    xy: jax.Array        # (K, 2) f32
+    response: jax.Array  # (K,) f32
+    angle: jax.Array     # (K,) f32
+    octave: jax.Array    # (K,) i32
+    desc: jax.Array      # (K, 8) u32
+    valid: jax.Array     # (K,) bool
+
+
+def extract_orb(img, params: ExtractorParams) -> OrbFeatures:
+    """Extract ORB features from a grayscale (H, W) f32 image in [0, 255].
+
+    Jit-compatible; all shapes static given ``params``.
+    """
+    levels = image_ops.build_pyramid(img, params.n_levels, params.scale_factor)
+    budgets = level_feature_budgets(
+        params.max_features, params.n_levels, params.scale_factor
+    )
+    out_xy, out_resp, out_ang, out_oct, out_desc, out_valid = [], [], [], [], [], []
+    for l, (lvl_img, k_level) in enumerate(zip(levels, budgets)):
+        xy, score, valid = _select_level_keypoints(lvl_img, params, k_level)
+        ang = ic_angles(lvl_img, xy, params.half_patch_size)
+        blur = image_ops.gaussian_blur(lvl_img, 7, 2.0)
+        desc = brief_descriptors(blur, xy, ang)
+        scale_l = params.scale_factor ** l
+        out_xy.append(xy * scale_l)
+        out_resp.append(score)
+        out_ang.append(ang)
+        out_oct.append(jnp.full((k_level,), l, jnp.int32))
+        out_desc.append(desc)
+        out_valid.append(valid)
+    return OrbFeatures(
+        xy=jnp.concatenate(out_xy),
+        response=jnp.concatenate(out_resp),
+        angle=jnp.concatenate(out_ang),
+        octave=jnp.concatenate(out_oct),
+        desc=jnp.concatenate(out_desc),
+        valid=jnp.concatenate(out_valid),
+    )
+
+
+def scale_factors(params: ExtractorParams) -> np.ndarray:
+    return np.array(
+        [params.scale_factor ** l for l in range(params.n_levels)], np.float32
+    )
+
+
+def inv_level_sigma2(params: ExtractorParams) -> np.ndarray:
+    """Per-octave information weights 1/sigma^2 (reference Frame
+    mvInvLevelSigma2)."""
+    s = scale_factors(params)
+    return (1.0 / (s * s)).astype(np.float32)
