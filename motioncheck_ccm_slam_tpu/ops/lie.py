@@ -49,15 +49,18 @@ def vee(W):
 
 
 def so3_exp(w):
-    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation.
+
+    Uses the double-where trick so gradients at theta=0 are exact (a plain
+    ``where`` would leak NaN from d sqrt/d theta2 at 0 through autodiff).
+    """
     theta2 = jnp.sum(w * w, -1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     small = theta2 < _EPS
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallback
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + a[..., None, None] * W + b[..., None, None] * (W @ W)
@@ -105,16 +108,16 @@ def so3_log(R):
 # ---------------------------------------------------------------------------
 
 def _V_coeffs(theta2, dtype):
-    """Coefficients for the left-Jacobian V = I + b*W + c*W^2."""
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    """Coefficients for the left-Jacobian V = I + b*W + c*W^2 (double-where
+    for NaN-free gradients at theta=0)."""
     small = theta2 < _EPS
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     c = jnp.where(
         small,
         1.0 / 6.0 - theta2 / 120.0,
-        (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta2 * theta),
+        (theta - jnp.sin(theta)) / (theta2_safe * theta),
     )
     return b, c
 

@@ -60,8 +60,11 @@ def _normalize_points(uv, mask):
 # Homography / Fundamental estimation (minimal DLT per hypothesis)
 # ---------------------------------------------------------------------------
 
-def _solve_h_dlt(p1, p2):
-    """Batched 4+-point homography DLT. p1, p2: (B, S, 2) -> H (B, 3, 3)."""
+def _solve_h_dlt(p1, p2, w=None):
+    """Batched 4+-point homography DLT. p1, p2: (B, S, 2) -> H (B, 3, 3).
+
+    Optional row weights w (B, S) enable least-squares refit on an inlier set.
+    """
     B, S, _ = p1.shape
     x, y = p1[..., 0], p1[..., 1]
     u, v = p2[..., 0], p2[..., 1]
@@ -70,20 +73,24 @@ def _solve_h_dlt(p1, p2):
     r1 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], -1)
     r2 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], -1)
     A = jnp.concatenate([r1, r2], -2)  # (B, 2S, 9)
+    if w is not None:
+        A = A * jnp.concatenate([w, w], -1)[..., None]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     h = vt[..., -1, :]
     return h.reshape(B, 3, 3)
 
 
-def _solve_f_8pt(p1, p2):
-    """Batched 8-point fundamental. p1, p2: (B, 8, 2) -> F (B, 3, 3) rank-2."""
+def _solve_f_8pt(p1, p2, w=None):
+    """Batched 8-point fundamental. p1, p2: (B, S, 2) -> F (B, 3, 3) rank-2."""
     B, S, _ = p1.shape
     x1, y1 = p1[..., 0], p1[..., 1]
     x2, y2 = p2[..., 0], p2[..., 1]
     o = jnp.ones_like(x1)
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], -1
-    )  # (B, 8, 9)
+    )  # (B, S, 9)
+    if w is not None:
+        A = A * w[..., None]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     F = vt[..., -1, :].reshape(B, 3, 3)
     # enforce rank 2
@@ -240,18 +247,30 @@ def initialize_two_view(
     # Homography hypotheses
     Hn = _solve_h_dlt(s1n, s2n)
     H = jnp.linalg.inv(T2) @ Hn @ T1
-    score_h, _ = _score_h(H, uv1, uv2, mask, sigma2)
+    score_h, inl_h = _score_h(H, uv1, uv2, mask, sigma2)
     best_h = jnp.argmax(score_h)
-    SH = score_h[best_h]
-    H_best = H[best_h]
+    # refit on the winner's inliers (reference FindHomography recomputes with
+    # all inliers of the best iteration)
+    w_h = inl_h[best_h].astype(uv1.dtype)
+    Hn_ref = _solve_h_dlt(uv1n[None], uv2n[None], w=w_h[None])[0]
+    H_ref = jnp.linalg.inv(T2) @ Hn_ref @ T1
+    score_h2, _ = _score_h(H_ref[None], uv1, uv2, mask, sigma2)
+    better_h = score_h2[0] > score_h[best_h]
+    SH = jnp.where(better_h, score_h2[0], score_h[best_h])
+    H_best = jnp.where(better_h, H_ref, H[best_h])
 
     # Fundamental hypotheses
     Fn = _solve_f_8pt(s1n, s2n)
     F = T2.T @ Fn @ T1
-    score_f, _ = _score_f(F, uv1, uv2, mask, sigma2)
+    score_f, inl_f = _score_f(F, uv1, uv2, mask, sigma2)
     best_f = jnp.argmax(score_f)
-    SF = score_f[best_f]
-    F_best = F[best_f]
+    w_f = inl_f[best_f].astype(uv1.dtype)
+    Fn_ref = _solve_f_8pt(uv1n[None], uv2n[None], w=w_f[None])[0]
+    F_ref = T2.T @ Fn_ref @ T1
+    score_f2, _ = _score_f(F_ref[None], uv1, uv2, mask, sigma2)
+    better_f = score_f2[0] > score_f[best_f]
+    SF = jnp.where(better_f, score_f2[0], score_f[best_f])
+    F_best = jnp.where(better_f, F_ref, F[best_f])
 
     RH = SH / jnp.maximum(SH + SF, _EPS)
     use_h = RH > 0.40  # reference threshold
@@ -416,12 +435,13 @@ def pnp_ransac(
     win = jnp.argmax(counts)
     Tcw = lie.make_T(R[win], t[win])
     inliers = inl[win]
-    # GN polish on the winner's inliers
+    # GN polish seeded with the winner's inliers; later rounds re-admit any
+    # masked observation that fits the refined pose
     from ..solvers import pose_opt
 
     res = pose_opt.optimize_pose(
-        Tcw, Xw, uv, jnp.ones((N,), uv.dtype), inliers, K,
-        n_rounds=2, iters_per_round=refine_iters,
+        Tcw, Xw, uv, jnp.ones((N,), uv.dtype), mask, K,
+        n_rounds=3, iters_per_round=refine_iters, active0=inliers,
     )
     success = res.n_inliers >= min_inliers
     return PnPResult(success=success, Tcw=res.Tcw, inliers=res.inliers)

@@ -124,7 +124,11 @@ def bundle_adjust(
         Tcw, Xw, lam, active = state
         r, pc, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs, K)
         w, chi2 = ba_core.robust_obs_weights(r, obs, depth_ok, extra_mask=active)
-        cost = _robust_cost(chi2, obs.valid & active & depth_ok)
+        # cost counts ALL active obs: residuals of behind-camera points are
+        # computed with clamped depth and blow up, so steps that push points
+        # behind the camera are rejected (masking them out instead would make
+        # such steps look artificially cheap -> divergence)
+        cost = _robust_cost(chi2, obs.valid & active)
         Rm = Tcw[obs.cam_idx][:, :3, :3]
         Jc, Jl = ba_core.reproject_jacobians(pc, Rm, K)
         Hcc, bc, Hll, bl, Wcl = ba_core.assemble_blocks(
@@ -147,7 +151,7 @@ def bundle_adjust(
         # accept/reject
         r2, _, d2ok = ba_core.reproject_residuals(T_new, X_new, obs, K)
         chi2_new = jnp.sum(r2 * r2, -1) * obs.inv_sigma2
-        cost_new = _robust_cost(chi2_new, obs.valid & active & d2ok)
+        cost_new = _robust_cost(chi2_new, obs.valid & active)
         accept = cost_new < cost
         Tcw = jnp.where(accept, T_new, Tcw)
         Xw = jnp.where(accept, X_new, Xw)

@@ -47,11 +47,15 @@ def optimize_pose(
     n_rounds: int = 4,
     iters_per_round: int = 10,
     chi2_thres: float = ba_core.CHI2_MONO,
+    active0=None,
 ) -> PoseOptResult:
     """Optimize one camera pose. All args device arrays; shapes static.
 
     Xw (N, 3) world landmarks; uv (N, 2) measurements; inv_sigma2 (N,)
-    per-octave weights; valid (N,) live associations.
+    per-octave weights; valid (N,) live associations. ``active0`` optionally
+    seeds the first round's active set (e.g. RANSAC inliers) while later
+    rounds may re-admit any ``valid`` observation that fits — mirrors the
+    reference's re-inclusion of recovered outliers between rounds.
     """
     N = Xw.shape[0]
 
@@ -98,5 +102,6 @@ def optimize_pose(
         active = valid & (chi2 <= chi2_thres) & (pc[:, 2] > 1e-6)
         return Tcw, active
 
-    Tcw, active = jax.lax.fori_loop(0, n_rounds, round_body, (Tcw0, valid))
+    start_active = valid if active0 is None else (valid & active0)
+    Tcw, active = jax.lax.fori_loop(0, n_rounds, round_body, (Tcw0, start_active))
     return PoseOptResult(Tcw=Tcw, inliers=active, n_inliers=jnp.sum(active))
