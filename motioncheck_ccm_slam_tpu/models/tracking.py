@@ -124,7 +124,10 @@ def _track_two_pass(
         n_rounds=2, iters_per_round=10,
     )
     final_assoc = jnp.where(res2.inliers, feat_mp2, -1)
-    return res2.Tcw, final_assoc, res2.n_inliers, jnp.sum(vis2)
+    # per-landmark stats for culling (reference IncreaseVisible/IncreaseFound)
+    found = jnp.zeros((NM,), bool)
+    found = found.at[jnp.where(res2.inliers, feat_mp2, NM)].set(True, mode="drop")
+    return res2.Tcw, final_assoc, res2.n_inliers, vis2, found
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +147,7 @@ class Tracker:
     init_ref_frame: Optional[frame_mod.Frame] = None
     frames_since_kf: int = 0
     last_kf_tracked: int = 0                      # inliers of last KF creation
+    max_tracked_since_kf: int = 0                 # running max since last KF
     n_frames: int = 0
     # trajectory log: (timestamp, Tcw (4,4) np) per frame for CSV export
     trajectory: list = dataclasses.field(default_factory=list)
@@ -218,7 +222,7 @@ class Tracker:
         else:
             Tcw_pred = self.last_frame.Tcw if self.last_frame is not None else fr.Tcw
         mp = self.map.mp
-        Tcw, assoc, n_inl, n_vis = _track_two_pass(
+        Tcw, assoc, n_inl, vis_mask, found_mask = _track_two_pass(
             fr.feats.xy, fr.feats.desc, fr.feats.octave, fr.feats.angle,
             fr.feats.valid,
             Tcw_pred,
@@ -230,6 +234,11 @@ class Tracker:
         fr.Tcw = Tcw
         fr.mp_idx = assoc
         fr.n_tracked = n_inliers
+        # landmark visibility/found statistics feed MapPoint culling
+        self.map.mp = self.map.mp._replace(
+            n_visible=self.map.mp.n_visible + vis_mask.astype(jnp.int32),
+            n_found=self.map.mp.n_found + found_mask.astype(jnp.int32),
+        )
         if n_inliers < cfg.tracking.matches_inliers_thres:
             self.state = TrackState.LOST
             self.velocity = None
@@ -240,6 +249,7 @@ class Tracker:
                 Tcw @ lie.inv_T(self.last_frame.Tcw)
             )
         self.frames_since_kf += 1
+        self.max_tracked_since_kf = max(self.max_tracked_since_kf, n_inliers)
 
     def need_new_keyframe(self, fr: frame_mod.Frame) -> bool:
         """KF decision (reference NeedNewKeyFrame :730, simplified to its
@@ -250,13 +260,18 @@ class Tracker:
         cfg = self.config.tracking
         if fr.n_tracked < cfg.matches_inliers_thres:
             return False
-        weak = fr.n_tracked < cfg.ref_ratio * max(self.last_kf_tracked, 1)
+        # the bar is the best tracking quality achieved since the last KF
+        # (equivalent of the reference's nRefMatches: mapping keeps adding
+        # landmarks after a KF, so the creation-time count goes stale)
+        bar = max(self.max_tracked_since_kf, self.last_kf_tracked, 1)
+        weak = fr.n_tracked < cfg.ref_ratio * bar
         stale = self.frames_since_kf >= cfg.max_frames
         return weak or stale
 
     def notify_kf_created(self, n_tracked: int):
         self.frames_since_kf = 0
         self.last_kf_tracked = n_tracked
+        self.max_tracked_since_kf = n_tracked
 
     def reset(self):
         """Tracking reset (reference Tracking::Reset via ClientHandler)."""

@@ -214,7 +214,7 @@ def epipolar_line_distance(uv, F_line):
 def search_for_triangulation(
     desc1, uv1, valid1, desc2, uv2, valid2, F12,
     inv_sigma2_t, octave2,
-    max_dist: int = TH_LOW, epi_chi2: float = 3.84,
+    max_dist: int = TH_LOW, epi_chi2: float = 3.84, nn_ratio: float = 0.8,
 ) -> MatchResult:
     """Epipolar-constrained matching for new map-point creation (reference
     SearchForTriangulation): candidate features in KF2 must lie near the
@@ -237,8 +237,14 @@ def search_for_triangulation(
     # sigma2 of kp2's octave)
     gate = epi_chi2 / inv_sigma2_t[octave2][None, :]
     mask = (epi_d2 < gate) & valid1[:, None] & valid2[None, :]
-    m = masked_best_match(dist, mask, max_dist)
-    m = MatchResult(m.idx, m.dist, m.ok & valid1)
+    # mutual-best consistency guards against repeated texture along the
+    # epipolar line (a ratio test would starve matches instead — the
+    # second-best candidate on the line is always close in appearance)
+    fwd = masked_best_match(dist, mask, max_dist)
+    bwd = masked_best_match(dist.T, mask.T, max_dist)
+    mutual = bwd.idx[fwd.idx] == jnp.arange(desc1.shape[0])
+    m = MatchResult(fwd.idx, fwd.dist,
+                    fwd.ok & bwd.ok[fwd.idx] & mutual & valid1)
     return resolve_duplicates(m, desc2.shape[0])
 
 

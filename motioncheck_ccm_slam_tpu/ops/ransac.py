@@ -299,15 +299,21 @@ def initialize_two_view(
     h_cands = _homography_motions(Ua, sa, Vta)
 
     cands = f_cands + h_cands  # 4 + 8 = 12 (R, t) candidates
-    n_goods, ptss, goods = [], [], []
+    n_goods, ptss, goods, par50s = [], [], [], []
     for (Rc, tc) in cands:
-        ng, pts, good, _ = _triangulate_and_check(Rc, tc, K, uv1, uv2, mask, sigma2)
+        ng, pts, good, cosp = _triangulate_and_check(Rc, tc, K, uv1, uv2, mask, sigma2)
         n_goods.append(ng)
         ptss.append(pts)
         goods.append(good)
+        # parallax of the min(50, n_good)-th best point (reference CheckRT:
+        # sorted cos, index min(50,N)-1) — gates low-baseline bootstraps
+        cos_sorted = jnp.sort(jnp.where(good, cosp, 1.0))
+        kth = jnp.clip(jnp.minimum(ng, 50) - 1, 0, cosp.shape[0] - 1)
+        par50s.append(jnp.degrees(jnp.arccos(jnp.clip(cos_sorted[kth], -1.0, 1.0))))
     n_goods = jnp.stack(n_goods)           # (12,)
     ptss = jnp.stack(ptss)                 # (12, N, 3)
     goods = jnp.stack(goods)               # (12, N)
+    par50s = jnp.stack(par50s)             # (12,)
     Rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])
 
@@ -320,7 +326,10 @@ def initialize_two_view(
     # uniqueness: clear winner (reference: second best < 0.75 * best)
     n_second = jnp.sort(n_sel)[-2]
     distinct = n_second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32)
-    success = (n_best >= min_triangulated) & distinct
+    # minimum parallax gate (reference minParallax = 1.0 deg): refuse
+    # low-baseline bootstraps whose structure would be depth-degenerate
+    enough_parallax = par50s[win] > 1.0
+    success = (n_best >= min_triangulated) & distinct & enough_parallax
     Tcw2 = lie.make_T(Rs[win], ts[win])
     return TwoViewInit(
         success=success,

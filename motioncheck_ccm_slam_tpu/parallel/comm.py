@@ -1,0 +1,529 @@
+"""Agent <-> server communication backend.
+
+Replaces the reference's ROS pub/sub Communicator + wire schema
+(src/Communicator.cpp, cslam_msgs/msg/*.msg) with transport-agnostic message
+dataclasses and an in-memory duplex channel (a gRPC/DCN transport can
+implement the same ``Channel`` interface for multi-host runs).
+
+Semantics preserved from the reference — these define its robustness to
+loss/reordering/mid-merge frame changes:
+
+- **relative pose encoding**: a keyframe's pose is shipped relative to its
+  temporal predecessor (``mTcpred``, KeyFrame::ConvertToMessage
+  src/KeyFrame.cpp:1420-1458), landmark positions relative to a reference
+  keyframe; the receiver reconstructs world poses against ITS version of the
+  reference, so messages survive map-frame changes from merges/GBA.
+- **ack / weak-ack**: the receiver acks individual ids; a weak ack covers
+  every id <= it (Communicator.h:198-205). Unacked entities are retransmitted
+  as full messages; acked ones switch to reduced (pose-only) updates.
+- **budgets**: per-cycle message caps (<=40 KFs + 2500 MPs client->server per
+  publish; server processes <=400/12000 per cycle — conf/config.yaml:88-100).
+- **FINALBA idle detection**: ~30 s of empty messages marks an agent
+  finished (Communicator.cpp:465-496); the server triggers the final GBA when
+  all agents are done.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import map_state as ms
+from ..models import mapping as mapping_mod
+from ..ops import lie
+
+
+# ---------------------------------------------------------------------------
+# Wire messages (numpy payloads; dataclasses are the schema)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class KfMsg:
+    """Full keyframe message (reference cslam_msgs/KF.msg)."""
+
+    kf_id: int
+    client_id: int
+    timestamp: float
+    Tcp: np.ndarray            # (4,4) pose relative to predecessor
+    pred_id: int               # predecessor kf id (-1 for origin)
+    parent_id: int
+    xy: np.ndarray             # (F, 2) f32
+    angle: np.ndarray          # (F,) f32
+    octave: np.ndarray         # (F,) i32
+    desc: np.ndarray           # (F, 8) u32
+    feat_valid: np.ndarray     # (F,) bool
+    mp_ids: np.ndarray         # (F,) i64 landmark id or -1 (same client)
+
+
+@dataclasses.dataclass
+class KfRedMsg:
+    """Reduced keyframe update: pose only (reference KFred.msg)."""
+
+    kf_id: int
+    client_id: int
+    Tcp: np.ndarray
+    pred_id: int
+
+
+@dataclasses.dataclass
+class MpMsg:
+    """Full landmark message (reference MP.msg)."""
+
+    mp_id: int
+    client_id: int
+    pos_ref: np.ndarray        # (3,) position in reference-KF camera frame
+    ref_kf_id: int
+    desc: np.ndarray           # (8,) u32
+    normal: np.ndarray         # (3,)
+    min_dist: float
+    max_dist: float
+
+
+@dataclasses.dataclass
+class MpRedMsg:
+    mp_id: int
+    client_id: int
+    pos_ref: np.ndarray
+    ref_kf_id: int
+
+
+@dataclasses.dataclass
+class MapMsg:
+    """One publish cycle (reference Map.msg)."""
+
+    sender_client_id: int
+    keyframes: List[KfMsg] = dataclasses.field(default_factory=list)
+    keyframes_red: List[KfRedMsg] = dataclasses.field(default_factory=list)
+    map_points: List[MpMsg] = dataclasses.field(default_factory=list)
+    map_points_red: List[MpRedMsg] = dataclasses.field(default_factory=list)
+    acks_kf: List[int] = dataclasses.field(default_factory=list)
+    acks_mp: List[int] = dataclasses.field(default_factory=list)
+    weak_ack_kf: int = -1
+    weak_ack_mp: int = -1
+    closest_kf_id: int = -1
+
+    @property
+    def empty(self) -> bool:
+        return not (self.keyframes or self.keyframes_red or self.map_points
+                    or self.map_points_red)
+
+
+class Channel:
+    """Duplex in-memory channel (stand-in for the ROS topic pair / DCN RPC)."""
+
+    def __init__(self):
+        self.to_server: "queue.Queue[MapMsg]" = queue.Queue()
+        self.to_client: "queue.Queue[MapMsg]" = queue.Queue()
+
+    def client_send(self, msg: MapMsg):
+        self.to_server.put(msg)
+
+    def server_send(self, msg: MapMsg):
+        self.to_client.put(msg)
+
+    def client_recv(self) -> Optional[MapMsg]:
+        try:
+            return self.to_client.get_nowait()
+        except queue.Empty:
+            return None
+
+    def server_recv(self) -> Optional[MapMsg]:
+        try:
+            return self.to_server.get_nowait()
+        except queue.Empty:
+            return None
+
+
+# ---------------------------------------------------------------------------
+# Client side
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ClientComm:
+    """Client communicator (reference Communicator::RunClient +
+    PublishMapClient)."""
+
+    config: Config
+    channel: Channel
+    client_id: int = 0
+    # send state
+    pending_kfs: List[int] = dataclasses.field(default_factory=list)  # slots
+    sent_unacked_kf: Set[int] = dataclasses.field(default_factory=set)  # ids
+    acked_kf: Set[int] = dataclasses.field(default_factory=set)
+    sent_unacked_mp: Set[int] = dataclasses.field(default_factory=set)
+    acked_mp: Set[int] = dataclasses.field(default_factory=set)
+    sent_mp_once: Set[int] = dataclasses.field(default_factory=set)
+    sent_kf_once: Set[int] = dataclasses.field(default_factory=set)
+    n_published: int = 0
+
+    def on_new_keyframe(self, m: ms.MapState, slot: int):
+        self.pending_kfs.append(slot)
+
+    # -- message construction ------------------------------------------
+    def _kf_msg(self, m: ms.MapState, slot: int) -> KfMsg:
+        kf = m.kf
+        kf_id = int(np.asarray(kf.kf_id[slot]))
+        pred = int(np.asarray(kf.pred[slot]))
+        Tcw = np.asarray(kf.Tcw[slot])
+        if pred >= 0 and bool(np.asarray(kf.valid[pred])):
+            pred_id = int(np.asarray(kf.kf_id[pred]))
+            Tcp = Tcw @ np.linalg.inv(np.asarray(kf.Tcw[pred]))
+        else:
+            pred_id = -1
+            Tcp = Tcw
+        parent = int(np.asarray(kf.parent[slot]))
+        parent_id = int(np.asarray(kf.kf_id[parent])) if parent >= 0 else -1
+        mp_slots = np.asarray(kf.mp_idx[slot])
+        mp_ids = np.full(mp_slots.shape, -1, np.int64)
+        have = mp_slots >= 0
+        mp_ids[have] = np.asarray(m.mp.mp_id)[mp_slots[have]]
+        return KfMsg(
+            kf_id=kf_id, client_id=self.client_id,
+            timestamp=float(np.asarray(kf.timestamp[slot])),
+            Tcp=Tcp, pred_id=pred_id, parent_id=parent_id,
+            xy=np.asarray(kf.xy[slot]), angle=np.asarray(kf.angle[slot]),
+            octave=np.asarray(kf.octave[slot]),
+            desc=np.asarray(kf.desc[slot]),
+            feat_valid=np.asarray(kf.feat_valid[slot]),
+            mp_ids=mp_ids,
+        )
+
+    def _mp_msg(self, m: ms.MapState, mslot: int) -> Optional[MpMsg]:
+        mp = m.mp
+        ref = int(np.asarray(mp.ref_kf[mslot]))
+        if ref < 0 or not bool(np.asarray(m.kf.valid[ref])):
+            return None
+        ref_id = int(np.asarray(m.kf.kf_id[ref]))
+        Tcw_ref = np.asarray(m.kf.Tcw[ref])
+        X = np.asarray(mp.Xw[mslot])
+        pos_ref = Tcw_ref[:3, :3] @ X + Tcw_ref[:3, 3]
+        return MpMsg(
+            mp_id=int(np.asarray(mp.mp_id[mslot])), client_id=self.client_id,
+            pos_ref=pos_ref, ref_kf_id=ref_id,
+            desc=np.asarray(mp.desc[mslot]),
+            normal=np.asarray(mp.normal[mslot]),
+            min_dist=float(np.asarray(mp.min_dist[mslot])),
+            max_dist=float(np.asarray(mp.max_dist[mslot])),
+        )
+
+    # -- main tick ------------------------------------------------------
+    def tick(self, m: ms.MapState):
+        """One comm cycle: drain server messages (acks), publish pending."""
+        # process acks from server
+        while True:
+            msg = self.channel.client_recv()
+            if msg is None:
+                break
+            for i in msg.acks_kf:
+                self.acked_kf.add(i)
+                self.sent_unacked_kf.discard(i)
+            for i in msg.acks_mp:
+                self.acked_mp.add(i)
+                self.sent_unacked_mp.discard(i)
+            if msg.weak_ack_kf >= 0:
+                for i in list(self.sent_unacked_kf):
+                    if i <= msg.weak_ack_kf:
+                        self.acked_kf.add(i)
+                        self.sent_unacked_kf.discard(i)
+            if msg.weak_ack_mp >= 0:
+                for i in list(self.sent_unacked_mp):
+                    if i <= msg.weak_ack_mp:
+                        self.acked_mp.add(i)
+                        self.sent_unacked_mp.discard(i)
+
+        out = MapMsg(sender_client_id=self.client_id)
+        cfg = self.config.comm
+        kf_budget = cfg.client_pub_max_kfs
+        mp_budget = cfg.client_pub_max_mps
+
+        kf_ids_np = np.asarray(m.kf.kf_id)
+        kf_valid_np = np.asarray(m.kf.valid)
+        # full KFs: pending + unacked retransmits
+        slots_to_send: List[int] = []
+        for slot in list(self.pending_kfs):
+            if len(slots_to_send) >= kf_budget:
+                break
+            if kf_valid_np[slot]:
+                slots_to_send.append(slot)
+            self.pending_kfs.remove(slot)
+        # retransmit unacked (reference: resend until ack'd)
+        if len(slots_to_send) < kf_budget:
+            for kf_id in sorted(self.sent_unacked_kf):
+                if len(slots_to_send) >= kf_budget:
+                    break
+                slot = m.kf_slot_by_id.get((kf_id, self.client_id))
+                if slot is not None and kf_valid_np[slot] \
+                        and slot not in slots_to_send:
+                    slots_to_send.append(slot)
+        mp_sent = 0
+        for slot in slots_to_send:
+            msg_kf = self._kf_msg(m, slot)
+            out.keyframes.append(msg_kf)
+            self.sent_unacked_kf.add(msg_kf.kf_id)
+            self.sent_kf_once.add(msg_kf.kf_id)
+            # ship this KF's new landmarks
+            mp_slots = np.unique(np.asarray(m.kf.mp_idx[slot]))
+            for mslot in mp_slots:
+                if mslot < 0 or mp_sent >= mp_budget:
+                    continue
+                mp_id = int(np.asarray(m.mp.mp_id[mslot]))
+                if mp_id in self.acked_mp or mp_id in self.sent_unacked_mp:
+                    continue
+                mm = self._mp_msg(m, int(mslot))
+                if mm is None:
+                    continue
+                out.map_points.append(mm)
+                self.sent_unacked_mp.add(mp_id)
+                self.sent_mp_once.add(mp_id)
+                mp_sent += 1
+        # reduced pose updates for already-acked KFs still in the local map
+        for kf_id in sorted(self.acked_kf):
+            slot = m.kf_slot_by_id.get((kf_id, self.client_id))
+            if slot is None or not kf_valid_np[slot]:
+                continue
+            pred = int(np.asarray(m.kf.pred[slot]))
+            Tcw = np.asarray(m.kf.Tcw[slot])
+            if pred >= 0 and kf_valid_np[pred]:
+                pred_id = int(kf_ids_np[pred])
+                Tcp = Tcw @ np.linalg.inv(np.asarray(m.kf.Tcw[pred]))
+            else:
+                pred_id = -1
+                Tcp = Tcw
+            out.keyframes_red.append(
+                KfRedMsg(kf_id=kf_id, client_id=self.client_id,
+                         Tcp=Tcp, pred_id=pred_id)
+            )
+        self.channel.client_send(out)
+        self.n_published += 1
+
+
+# ---------------------------------------------------------------------------
+# Server side
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ServerComm:
+    """Server communicator for one agent (reference Communicator::RunServer +
+    ProcessKfInServer/ProcessMpInServer)."""
+
+    config: Config
+    channel: Channel
+    map: ms.MapState
+    client_id: int = 0
+    # entities whose reference wasn't resolvable yet (reference in/out
+    # buffers + HandleMissingParent)
+    deferred_kfs: List[KfMsg] = dataclasses.field(default_factory=list)
+    deferred_mps: List[MpMsg] = dataclasses.field(default_factory=list)
+    processed_kf_ids: Set[int] = dataclasses.field(default_factory=set)
+    processed_mp_ids: Set[int] = dataclasses.field(default_factory=set)
+    new_kf_slots: List[int] = dataclasses.field(default_factory=list)
+    idle_cycles: int = 0
+    got_data: bool = False
+    next_kf_id: int = 0    # kept for interface parity; ids come from client
+
+    def _resolve_kf(self, kf_id: int) -> Optional[int]:
+        return self.map.kf_slot_by_id.get((kf_id, self.client_id))
+
+    def _insert_kf(self, msg: KfMsg) -> bool:
+        m = self.map
+        if msg.pred_id >= 0:
+            pred_slot = self._resolve_kf(msg.pred_id)
+            if pred_slot is None:
+                return False  # defer until predecessor arrives
+            Tcw = msg.Tcp @ np.asarray(m.kf.Tcw[pred_slot])
+            pred = pred_slot
+        else:
+            Tcw = msg.Tcp
+            pred = -1
+        parent = self._resolve_kf(msg.parent_id) if msg.parent_id >= 0 else None
+        mp_idx = np.full(msg.mp_ids.shape, -1, np.int32)
+        have = msg.mp_ids >= 0
+        for f in np.flatnonzero(have):
+            mslot = m.mp_slot_by_id.get((int(msg.mp_ids[f]), self.client_id))
+            if mslot is not None:
+                mp_idx[f] = mslot
+        import jax.numpy as jnp
+        from ..models.frame import Frame
+        from ..ops.orb import OrbFeatures
+
+        feats = OrbFeatures(
+            xy=jnp.asarray(msg.xy), response=jnp.zeros(msg.xy.shape[0]),
+            angle=jnp.asarray(msg.angle), octave=jnp.asarray(msg.octave),
+            desc=jnp.asarray(msg.desc), valid=jnp.asarray(msg.feat_valid),
+        )
+        fr = Frame(frame_id=msg.kf_id, timestamp=msg.timestamp, feats=feats,
+                   Tcw=jnp.asarray(Tcw.astype(np.float32)),
+                   mp_idx=jnp.asarray(mp_idx))
+        slot = mapping_mod.insert_keyframe(
+            m, fr, msg.kf_id, self.client_id,
+            parent_slot=parent if parent is not None else (pred if pred >= 0 else -1),
+            pred_slot=pred if pred >= 0 else -1,
+        )
+        self.new_kf_slots.append(slot)
+        return True
+
+    def _insert_mp(self, msg: MpMsg) -> bool:
+        m = self.map
+        ref_slot = self._resolve_kf(msg.ref_kf_id)
+        if ref_slot is None:
+            return False
+        Twc_ref = np.linalg.inv(np.asarray(m.kf.Tcw[ref_slot]))
+        Xw = Twc_ref[:3, :3] @ msg.pos_ref + Twc_ref[:3, 3]
+        import jax.numpy as jnp
+
+        key = (msg.mp_id, self.client_id)
+        if key in m.mp_slot_by_id:
+            slot = m.mp_slot_by_id[key]
+            m.mp = m.mp._replace(
+                Xw=m.mp.Xw.at[slot].set(jnp.asarray(Xw.astype(np.float32)))
+            )
+            return True
+        slots = m.alloc_mp_slots(1, [key])
+        slot = int(slots[0])
+        m.mp = m.mp._replace(
+            mp_id=m.mp.mp_id.at[slot].set(msg.mp_id),
+            client_id=m.mp.client_id.at[slot].set(self.client_id),
+            Xw=m.mp.Xw.at[slot].set(jnp.asarray(Xw.astype(np.float32))),
+            desc=m.mp.desc.at[slot].set(jnp.asarray(msg.desc)),
+            normal=m.mp.normal.at[slot].set(jnp.asarray(msg.normal)),
+            min_dist=m.mp.min_dist.at[slot].set(msg.min_dist),
+            max_dist=m.mp.max_dist.at[slot].set(msg.max_dist),
+            ref_kf=m.mp.ref_kf.at[slot].set(ref_slot),
+            first_kf_id=m.mp.first_kf_id.at[slot].set(msg.ref_kf_id),
+            valid=m.mp.valid.at[slot].set(True),
+        )
+        return True
+
+    def _late_bind_mp_assocs(self, kf_msg: KfMsg):
+        """Resolve landmark associations that arrived after the KF."""
+        m = self.map
+        slot = self._resolve_kf(kf_msg.kf_id)
+        if slot is None:
+            return
+        import jax.numpy as jnp
+
+        mp_idx = np.asarray(m.kf.mp_idx[slot]).copy()
+        have = kf_msg.mp_ids >= 0
+        changed = False
+        for f in np.flatnonzero(have):
+            if mp_idx[f] >= 0:
+                continue
+            mslot = m.mp_slot_by_id.get((int(kf_msg.mp_ids[f]), self.client_id))
+            if mslot is not None:
+                mp_idx[f] = mslot
+                changed = True
+        if changed:
+            m.kf = m.kf._replace(
+                mp_idx=m.kf.mp_idx.at[slot].set(jnp.asarray(mp_idx))
+            )
+
+    def tick(self) -> MapMsg:
+        """One server comm cycle: ingest messages, send acks back."""
+        cfg = self.config.comm
+        self.new_kf_slots = []
+        kf_processed: List[int] = []
+        mp_processed: List[int] = []
+        kf_count = 0
+        mp_count = 0
+        self.got_data = False
+        incoming: List[MapMsg] = []
+        while True:
+            msg = self.channel.server_recv()
+            if msg is None:
+                break
+            incoming.append(msg)
+        any_payload = any(not msg.empty for msg in incoming)
+        if any_payload:
+            self.idle_cycles = 0
+            self.got_data = True
+        else:
+            self.idle_cycles += 1
+        # deferred retries first (references may have arrived)
+        kf_msgs = self.deferred_kfs + [
+            k for msg in incoming for k in msg.keyframes
+        ]
+        mp_msgs = self.deferred_mps + [
+            p for msg in incoming for p in msg.map_points
+        ]
+        self.deferred_kfs, self.deferred_mps = [], []
+        bound_kf_msgs: List[KfMsg] = []
+        for k in sorted(kf_msgs, key=lambda x: x.kf_id):
+            if kf_count >= cfg.server_kf_it_bound:
+                self.deferred_kfs.append(k)
+                continue
+            if k.kf_id in self.processed_kf_ids:
+                kf_processed.append(k.kf_id)  # duplicate receipt tolerated
+                continue
+            if self._insert_kf(k):
+                self.processed_kf_ids.add(k.kf_id)
+                kf_processed.append(k.kf_id)
+                bound_kf_msgs.append(k)
+                kf_count += 1
+            else:
+                self.deferred_kfs.append(k)
+        for p in sorted(mp_msgs, key=lambda x: x.mp_id):
+            if mp_count >= cfg.server_mp_it_bound:
+                self.deferred_mps.append(p)
+                continue
+            if p.mp_id in self.processed_mp_ids:
+                mp_processed.append(p.mp_id)
+                continue
+            if self._insert_mp(p):
+                self.processed_mp_ids.add(p.mp_id)
+                mp_processed.append(p.mp_id)
+                mp_count += 1
+            else:
+                self.deferred_mps.append(p)
+        # late-bind associations now that landmarks exist
+        for k in bound_kf_msgs:
+            self._late_bind_mp_assocs(k)
+        # reduced updates: pose refresh through predecessor relativity
+        for msg in incoming:
+            for r in msg.keyframes_red:
+                slot = self._resolve_kf(r.kf_id)
+                if slot is None:
+                    continue
+                if r.pred_id >= 0:
+                    pred_slot = self._resolve_kf(r.pred_id)
+                    if pred_slot is None:
+                        continue
+                    Tcw = r.Tcp @ np.asarray(self.map.kf.Tcw[pred_slot])
+                else:
+                    Tcw = r.Tcp
+                import jax.numpy as jnp
+
+                self.map.kf = self.map.kf._replace(
+                    Tcw=self.map.kf.Tcw.at[slot].set(
+                        jnp.asarray(Tcw.astype(np.float32))
+                    )
+                )
+        # acks back (weak ack = contiguous prefix of processed ids)
+        reply = MapMsg(sender_client_id=-1)
+        reply.acks_kf = kf_processed
+        reply.acks_mp = mp_processed
+        if self.processed_kf_ids:
+            wa = -1
+            while (wa + 1) in self.processed_kf_ids:
+                wa += 1
+            reply.weak_ack_kf = wa
+        if self.processed_mp_ids:
+            wa = -1
+            while (wa + 1) in self.processed_mp_ids:
+                wa += 1
+            reply.weak_ack_mp = wa
+        self.channel.server_send(reply)
+        return reply
+
+    @property
+    def agent_finished(self) -> bool:
+        """FINALBA idle heuristic, in cycles (the runner maps cycles to
+        wall-clock; reference uses ~30 s of empty messages)."""
+        cycles = max(
+            1, int(self.config.comm.final_ba_idle_s
+                   * self.config.comm.client_pub_freq_hz)
+        )
+        return self.got_data is False and self.idle_cycles >= cycles

@@ -171,9 +171,14 @@ def bundle_adjust(
     Tcw, Xw, _, active = jax.lax.fori_loop(
         0, iterations, iteration, (Tcw0, Xw0, jnp.float32(1e-4), active0)
     )
+    # final classification against the CONVERGED state, independent of the
+    # mid-run gate: an observation dropped at the (pre-convergence) outlier
+    # pass is re-admitted if it fits now. Without re-admission every BA run
+    # permanently deletes its momentarily-worst observations and the map's
+    # observation graph thins until the scale gauge drifts away.
     r, _, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs, K)
     chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
-    inlier = obs.valid & active & (chi2 <= chi2_thres) & depth_ok
+    inlier = obs.valid & (chi2 <= chi2_thres) & depth_ok
     return BAResult(
         Tcw=Tcw, Xw=Xw, obs_inlier=inlier, cost=_robust_cost(chi2, inlier)
     )

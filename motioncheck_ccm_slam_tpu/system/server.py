@@ -1,0 +1,205 @@
+"""Server system: per-agent maps, loop closing, cross-map matching/merging,
+final GBA.
+
+Replaces the reference's ``ServerSystem`` + server-role ``ClientHandler``
+(src/server/ServerSystem.cpp:29-218, src/ClientHandler.cpp:190-219): each
+agent is mirrored by a handler owning a communicator + loop closer over the
+agent's map; one shared ``MapMatcher`` watches all maps; after a confirmed
+cross-map hit the maps are fused and the affected handlers re-point to the
+fused map (``ChangeMap`` src/ClientHandler.cpp:221-241). When every agent
+has gone idle, the final Motion-Check-gated GBA runs (FINALBA,
+Map::RequestBA src/Map.cpp:1329).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import database as db_mod
+from ..models import gba as gba_mod
+from ..models import loop_closing, map_matching, map_merging
+from ..models import map_state as ms
+from ..models import mapping as mapping_mod
+from ..models import vocabulary as vocab_mod
+from ..ops import orb
+from ..parallel import comm as comm_mod
+
+
+@dataclasses.dataclass
+class ServerClientHandler:
+    """Server-side mirror of one agent."""
+
+    config: Config
+    client_id: int
+    map: ms.MapState
+    channel: comm_mod.Channel
+    comm: comm_mod.ServerComm = None
+    loop_closer: loop_closing.LoopCloser = None
+    vocab: vocab_mod.Vocabulary = None
+    n_kfs_processed: int = 0
+
+    def __post_init__(self):
+        if self.comm is None:
+            self.comm = comm_mod.ServerComm(
+                config=self.config, channel=self.channel, map=self.map,
+                client_id=self.client_id,
+            )
+        if self.vocab is None:
+            self.vocab = vocab_mod.default_vocabulary()
+        if self.loop_closer is None:
+            self.loop_closer = loop_closing.LoopCloser(
+                config=self.config, map=self.map,
+                database=db_mod.KeyFrameDatabase(
+                    vocab=self.vocab, capacity=self.map.nk
+                ),
+                map_id=self.client_id,
+            )
+
+    def change_map(self, new_map: ms.MapState, kf_slot_map: Dict[int, int]):
+        """Re-point to a fused map (reference ClientHandler::ChangeMap)."""
+        self.map = new_map
+        self.comm.map = new_map
+        self.loop_closer.map = new_map
+        # the loop database rows referenced old slots; rebuild lazily by
+        # re-adding the KFs under their new slots
+        db = db_mod.KeyFrameDatabase(
+            vocab=self.vocab, capacity=new_map.nk
+        )
+        for old, new in kf_slot_map.items():
+            db.add(new, new_map.kf.desc[new], new_map.kf.feat_valid[new],
+                   map_id=self.client_id)
+        self.loop_closer.database = db
+        self.loop_closer.consistent_groups = []
+
+    def spin(self) -> List[int]:
+        """One server cycle for this agent. Returns new KF slots."""
+        self.comm.tick()
+        new_slots = list(self.comm.new_kf_slots)
+        if new_slots:
+            # refresh landmark stats like the server mapping pipeline
+            self.map.mp = ms.update_mp_descriptors_and_normals(
+                self.map.kf, self.map.mp,
+                orb.scale_factors(self.config.extractor),
+            )
+            # redundancy-based KF culling (reference KeyFrameCullingV3)
+            mapping_mod.cull_redundant_keyframes(
+                self.map, self.config, protect=set(new_slots)
+            )
+        for slot in new_slots:
+            if bool(np.asarray(self.map.kf.valid[slot])):
+                self.loop_closer.process_keyframe(slot)
+                self.n_kfs_processed += 1
+        return new_slots
+
+
+@dataclasses.dataclass
+class ServerSystem:
+    config: Config
+    n_agents: int = 1
+    handlers: Dict[int, ServerClientHandler] = dataclasses.field(
+        default_factory=dict
+    )
+    channels: Dict[int, comm_mod.Channel] = dataclasses.field(
+        default_factory=dict
+    )
+    matcher: map_matching.MapMatcher = None
+    vocab: vocab_mod.Vocabulary = None
+    final_gba_done: bool = False
+    n_merges: int = 0
+
+    def __post_init__(self):
+        if self.vocab is None:
+            self.vocab = vocab_mod.default_vocabulary()
+        maps = {}
+        for cid in range(self.n_agents):
+            ch = comm_mod.Channel()
+            m = ms.MapState.create(self.config, server=True)
+            self.channels[cid] = ch
+            self.handlers[cid] = ServerClientHandler(
+                config=self.config, client_id=cid, map=m, channel=ch,
+                vocab=self.vocab,
+            )
+            maps[cid] = m
+        if self.matcher is None:
+            self.matcher = map_matching.MapMatcher(
+                config=self.config, maps=maps, vocab=self.vocab,
+            )
+
+    def channel_for(self, client_id: int) -> comm_mod.Channel:
+        return self.channels[client_id]
+
+    # ------------------------------------------------------------------
+    def spin_once(self):
+        for cid, h in self.handlers.items():
+            new_slots = h.spin()
+            # keep the matcher's map table pointing at live maps
+            self.matcher.maps[cid] = h.map
+            for slot in new_slots:
+                if not bool(np.asarray(h.map.kf.valid[slot])):
+                    continue
+                hit = self.matcher.check(cid, slot)
+                if hit is not None and self._distinct_maps(hit):
+                    self._merge(hit)
+                    break
+
+    def _distinct_maps(self, hit: map_matching.MapMatchHit) -> bool:
+        return (self.handlers[hit.map_id_cur].map
+                is not self.handlers[hit.map_id_match].map)
+
+    # ------------------------------------------------------------------
+    def _merge(self, hit: map_matching.MapMatchHit):
+        """Fuse the current map into the matched map (reference
+        MapMerger::MergeMaps)."""
+        h_cur = self.handlers[hit.map_id_cur]
+        h_match = self.handlers[hit.map_id_match]
+        m_cur, m_match = h_cur.map, h_match.map
+        m_cur = map_merging.sim3_transform_map(m_cur, hit.S_match_from_cur)
+        m_match, kf_map, mp_map = map_merging.merge_maps(
+            m_cur, m_match, hit.S_match_from_cur, config=self.config
+        )
+        # every handler pointing at the old map re-points to the fused one
+        for cid, h in self.handlers.items():
+            if h.map is m_cur or h is h_cur:
+                h.change_map(m_match, kf_map)
+            self.matcher.maps[cid] = self.handlers[cid].map
+        # rigidify the seam + polish (reference: ess-graph + RunGBA on the
+        # fused map); the loop closer's essential-graph machinery handles it
+        gba_mod.run_gba(m_match, self.config)
+        self.n_merges += 1
+
+    # ------------------------------------------------------------------
+    def maybe_final_gba(self) -> bool:
+        """FINALBA: when every agent is idle, run the final Motion-Check-
+        gated GBA on every distinct map (reference Map::RequestBA)."""
+        if self.final_gba_done:
+            return False
+        if not all(h.comm.agent_finished for h in self.handlers.values()):
+            return False
+        seen = set()
+        for h in self.handlers.values():
+            if id(h.map) in seen:
+                continue
+            seen.add(id(h.map))
+            gba_mod.run_gba(h.map, self.config)
+        self.final_gba_done = True
+        return True
+
+    # ------------------------------------------------------------------
+    def trajectories_tum(self) -> Dict[int, str]:
+        """Per-agent keyframe trajectories (reference WriteStateToCsv)."""
+        from ..utils import csv_io
+
+        out = {}
+        for cid, h in self.handlers.items():
+            kf = h.map.kf
+            valid = np.asarray(kf.valid) & (np.asarray(kf.client_id) == cid)
+            ts = np.asarray(kf.timestamp)[valid]
+            Ts = np.asarray(kf.Tcw)[valid]
+            order = np.argsort(ts)
+            traj = [(float(ts[i]), Ts[i]) for i in order]
+            out[cid] = csv_io.trajectory_tum(traj, self.config)
+        return out

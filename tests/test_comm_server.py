@@ -1,0 +1,110 @@
+"""Client<->server communication + server-side map mirroring tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from motioncheck_ccm_slam_tpu.config import (
+    CameraParams, CapacityParams, Config, ExtractorParams,
+)
+from motioncheck_ccm_slam_tpu.parallel import comm as comm_mod
+from motioncheck_ccm_slam_tpu.system.client import ClientSystem
+from motioncheck_ccm_slam_tpu.system.server import ServerSystem
+
+from synth_scene import SynthScene
+
+TEST_CONFIG = Config().replace(
+    extractor=ExtractorParams(max_features=512, n_levels=4, n_features=512),
+    capacity=CapacityParams(
+        client_max_kfs=24, client_max_mps=2048,
+        server_max_kfs=64, server_max_mps=8192,
+    ),
+    camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0),
+)
+
+
+@pytest.fixture(scope="module")
+def client_server_run():
+    server = ServerSystem(config=TEST_CONFIG, n_agents=1)
+    client = ClientSystem(config=TEST_CONFIG)
+    client.comm = comm_mod.ClientComm(
+        config=TEST_CONFIG, channel=server.channel_for(0), client_id=0
+    )
+    # loop closing needs long loops; keep it off for the mirror test
+    server.handlers[0].loop_closer.run_gba_after_loop = False
+    scene = SynthScene(TEST_CONFIG, n_points=500, seed=3, speed=0.9)
+    for t, Tcw_gt, img in scene.sequence(14):
+        client.process_image(img, t)
+        server.spin_once()
+    # drain any retransmits
+    for _ in range(4):
+        client.comm.tick(client.map)
+        server.spin_once()
+    return client, server
+
+
+def test_server_mirrors_keyframes(client_server_run):
+    client, server = client_server_run
+    smap = server.handlers[0].map
+    # every client KF (alive or trimmed later) that was shipped is on server
+    assert smap.n_kfs >= client.map.n_kfs
+    assert smap.n_kfs >= 3
+
+
+def test_server_mirrors_landmarks(client_server_run):
+    client, server = client_server_run
+    smap = server.handlers[0].map
+    assert smap.n_mps > 100
+
+
+def test_relative_pose_reconstruction(client_server_run):
+    """Server-side world poses must agree with the client's (they were
+    shipped relative to predecessors)."""
+    client, server = client_server_run
+    smap = server.handlers[0].map
+    cmap = client.map
+    matched = 0
+    for (kf_id, cid), cslot in cmap.kf_slot_by_id.items():
+        sslot = smap.kf_slot_by_id.get((kf_id, cid))
+        if sslot is None:
+            continue
+        Tc = np.asarray(cmap.kf.Tcw[cslot])
+        Ts = np.asarray(smap.kf.Tcw[sslot])
+        # poses agree up to the client's own post-send refinements; the
+        # reduced-update stream keeps them close
+        assert np.abs(Tc - Ts).max() < 0.05
+        matched += 1
+    assert matched >= 3
+
+
+def test_acks_clear_retransmit_queue(client_server_run):
+    client, server = client_server_run
+    assert len(client.comm.sent_unacked_kf) == 0
+    assert len(client.comm.sent_unacked_mp) == 0
+    assert len(client.comm.acked_kf) >= 3
+
+
+def test_message_loss_tolerance():
+    """Dropping a message must not lose keyframes: unacked entities are
+    retransmitted (the Disturber-style robustness of the reference)."""
+    server = ServerSystem(config=TEST_CONFIG, n_agents=1)
+    client = ClientSystem(config=TEST_CONFIG)
+    ch = server.channel_for(0)
+    client.comm = comm_mod.ClientComm(config=TEST_CONFIG, channel=ch, client_id=0)
+    server.handlers[0].loop_closer.run_gba_after_loop = False
+    scene = SynthScene(TEST_CONFIG, n_points=500, seed=3, speed=0.9)
+    drop_next = [True]
+    for i, (t, Tcw_gt, img) in enumerate(scene.sequence(12)):
+        client.process_image(img, t)
+        # adversarially drop every other client->server message
+        if drop_next[0]:
+            try:
+                ch.to_server.get_nowait()
+            except Exception:
+                pass
+        drop_next[0] = not drop_next[0]
+        server.spin_once()
+    for _ in range(6):
+        client.comm.tick(client.map)
+        server.spin_once()
+    smap = server.handlers[0].map
+    assert smap.n_kfs >= client.map.n_kfs  # everything arrived eventually
