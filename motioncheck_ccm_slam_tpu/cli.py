@@ -1,0 +1,152 @@
+"""Command-line entry points.
+
+Replaces the reference's ClientNode / ServerNode mains + launch files
+(src/client/ClientNode.cpp, src/server/ServerNode.cpp, cslam/launch/*): one
+process hosts the agents and the server synchronously (the reference's
+multi-process ROS graph becomes in-memory channels; a DCN transport slots
+into the same Channel interface for true multi-host runs).
+
+Usage:
+    python -m motioncheck_ccm_slam_tpu.cli synth --agents 2 --frames 40 \\
+        --out /tmp/run1
+    python -m motioncheck_ccm_slam_tpu.cli euroc --seq /data/MH_01_easy \\
+        --frames 600 --out /tmp/mh01
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _build_system(config, n_agents):
+    from .parallel import comm as comm_mod
+    from .system.client import ClientSystem
+    from .system.server import ServerSystem
+    from .config import SystemParams
+
+    server = ServerSystem(config=config, n_agents=n_agents)
+    clients = []
+    for cid in range(n_agents):
+        cfg = config.replace(sys=SystemParams(client_id=cid,
+                                              n_agents=n_agents))
+        c = ClientSystem(config=cfg)
+        c.comm = comm_mod.ClientComm(
+            config=cfg, channel=server.channel_for(cid), client_id=cid
+        )
+        clients.append(c)
+    return server, clients
+
+
+def _finish(server, clients, out_dir, t0):
+    from .utils import viewer
+
+    os.makedirs(out_dir, exist_ok=True)
+    for h in server.handlers.values():
+        h.comm.idle_cycles = 10**9
+        h.comm.got_data = False
+    server.maybe_final_gba()
+    # trajectory + map exports (reference WriteStateToCsv + RViz)
+    for cid, c in enumerate(clients):
+        with open(os.path.join(out_dir, f"frames_client{cid}.tum"), "w") as f:
+            f.write(c.trajectory_tum())
+    for cid, tum in server.trajectories_tum().items():
+        with open(os.path.join(out_dir, f"KF_FINAL_{cid}.tum"), "w") as f:
+            f.write(tum)
+    seen = set()
+    for cid, h in server.handlers.items():
+        if id(h.map) in seen:
+            continue
+        seen.add(id(h.map))
+        viewer.render_map(
+            h.map, os.path.join(out_dir, f"map_{cid}.png"),
+            title=f"server map (handler {cid})",
+        )
+    stats = {
+        "wall_s": round(time.time() - t0, 1),
+        "n_merges": server.n_merges,
+        "agents": {
+            cid: {
+                "frames": len(c.tracker.trajectory),
+                "state": c.tracker.state.name,
+                "client_kfs": c.map.n_kfs,
+                "client_mps": c.map.n_mps,
+            }
+            for cid, c in enumerate(clients)
+        },
+        "server_maps": [
+            {"kfs": h.map.n_kfs, "mps": h.map.n_mps,
+             "loops": h.loop_closer.n_loops_closed}
+            for h in {id(h.map): h for h in server.handlers.values()}.values()
+        ],
+    }
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats, indent=2))
+
+
+def cmd_synth(args):
+    import sys
+
+    from .config import CameraParams, Config
+
+    config = Config().replace(
+        camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
+    )
+    # the synthetic scene lives in tests/ for shared use
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from synth_scene import SynthScene
+
+    t0 = time.time()
+    server, clients = _build_system(config, args.agents)
+    scenes = [
+        SynthScene(config, n_points=700, seed=3 + (0 if args.shared_world
+                                                   else cid), speed=0.9)
+        for cid in range(args.agents)
+    ]
+    seqs = [list(s.sequence(args.frames)) for s in scenes]
+    for i in range(args.frames):
+        for cid, c in enumerate(clients):
+            t, _, img = seqs[cid][i]
+            c.process_image(img, t)
+        server.spin_once()
+    _finish(server, clients, args.out, t0)
+
+
+def cmd_euroc(args):
+    from .config import Config
+    from .utils.euroc import EurocSequence
+
+    config = Config()
+    t0 = time.time()
+    server, clients = _build_system(config, 1)
+    seq = EurocSequence(args.seq)
+    for i, (ts, img) in enumerate(seq.frames(stop=args.frames,
+                                             stride=args.stride)):
+        clients[0].process_image(img, ts)
+        server.spin_once()
+    _finish(server, clients, args.out, t0)
+
+
+def main():
+    p = argparse.ArgumentParser(prog="motioncheck_ccm_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    ps = sub.add_parser("synth", help="synthetic multi-agent run")
+    ps.add_argument("--agents", type=int, default=1)
+    ps.add_argument("--frames", type=int, default=30)
+    ps.add_argument("--out", default="/tmp/mcslam_synth")
+    ps.add_argument("--shared-world", action="store_true", default=True)
+    ps.set_defaults(fn=cmd_synth)
+    pe = sub.add_parser("euroc", help="EuRoC sequence replay")
+    pe.add_argument("--seq", required=True, help="sequence dir (contains mav0)")
+    pe.add_argument("--frames", type=int, default=None)
+    pe.add_argument("--stride", type=int, default=1)
+    pe.add_argument("--out", default="/tmp/mcslam_euroc")
+    pe.set_defaults(fn=cmd_euroc)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -254,6 +254,75 @@ def update_mp_descriptors_and_normals(kf: KFBlock, mp: MPBlock,
     )
 
 
+def check_structure(m: "MapState", repair: bool = False):
+    """Map-invariant checker (reference Map::CheckStructure src/Map.cpp:5444,
+    DEBUGGING2): detects orphan references, self-parents, associations to
+    dead landmarks, and dangling graph links. Returns a list of violation
+    strings; with ``repair=True`` the fixable ones are repaired in place like
+    the reference's auto-repair.
+    """
+    problems = []
+    kf_valid = np.asarray(m.kf.valid)
+    mp_valid = np.asarray(m.mp.valid)
+    mp_idx = np.asarray(m.kf.mp_idx)
+    parent = np.asarray(m.kf.parent)
+    pred = np.asarray(m.kf.pred)
+    ref_kf = np.asarray(m.mp.ref_kf)
+
+    # associations referencing dead/out-of-range landmarks
+    assoc = mp_idx[kf_valid]
+    bad_range = (assoc >= m.nm)
+    bad_dead = (assoc >= 0) & (assoc < m.nm) & ~mp_valid[np.clip(assoc, 0, m.nm - 1)]
+    if bad_range.any():
+        problems.append(f"{bad_range.sum()} associations out of range")
+    if bad_dead.any():
+        problems.append(f"{bad_dead.sum()} associations to dead landmarks")
+    # self-parent / dead-parent
+    for s in np.flatnonzero(kf_valid):
+        if parent[s] == s:
+            problems.append(f"KF slot {s} is its own parent")
+        if parent[s] >= 0 and not kf_valid[parent[s]]:
+            problems.append(f"KF slot {s} parent {parent[s]} is dead")
+        if pred[s] >= 0 and not kf_valid[pred[s]]:
+            problems.append(f"KF slot {s} pred {pred[s]} is dead")
+    # landmarks with dead reference keyframes
+    for s in np.flatnonzero(mp_valid):
+        r = ref_kf[s]
+        if r >= 0 and not kf_valid[r]:
+            problems.append(f"MP slot {s} ref_kf {r} is dead")
+
+    if repair and problems:
+        import jax.numpy as jnp
+
+        dead_assoc = (m.kf.mp_idx >= 0) & ~jnp.asarray(mp_valid)[
+            jnp.maximum(m.kf.mp_idx, 0)
+        ]
+        m.kf = m.kf._replace(
+            mp_idx=jnp.where(dead_assoc, -1, m.kf.mp_idx),
+            parent=jnp.where(
+                jnp.asarray(~kf_valid)[jnp.maximum(m.kf.parent, 0)]
+                & (m.kf.parent >= 0),
+                -1, m.kf.parent,
+            ),
+            pred=jnp.where(
+                jnp.asarray(~kf_valid)[jnp.maximum(m.kf.pred, 0)]
+                & (m.kf.pred >= 0),
+                -1, m.kf.pred,
+            ),
+        )
+        # re-anchor landmarks whose reference KF died: first live observer
+        memb = np.asarray(observation_membership(m.kf, m.nm))
+        new_ref = ref_kf.copy()
+        for s in np.flatnonzero(mp_valid):
+            if new_ref[s] >= 0 and not kf_valid[new_ref[s]]:
+                obs = np.flatnonzero(memb[:, s])
+                new_ref[s] = obs[0] if len(obs) else -1
+        import jax.numpy as jnp2
+
+        m.mp = m.mp._replace(ref_kf=jnp2.asarray(new_ref))
+    return problems
+
+
 # ---------------------------------------------------------------------------
 # Host-side allocator / wrapper
 # ---------------------------------------------------------------------------

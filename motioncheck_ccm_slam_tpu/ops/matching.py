@@ -248,6 +248,49 @@ def search_for_triangulation(
     return resolve_duplicates(m, desc2.shape[0])
 
 
+def search_by_sim3(
+    desc1, Xc1, valid1, desc2, Xc2, valid2, S12, K,
+    radius: float = 7.5, max_dist: int = TH_HIGH,
+) -> MatchResult:
+    """Sim3-guided mutual landmark matching (reference
+    ORBmatcher::SearchBySim3): project each keyframe's landmarks into the
+    other camera through S12 (cam2 frame -> cam1 frame) and match near the
+    projections in both directions; keep mutual agreements.
+
+    Xc1/Xc2: landmarks in camera-1 / camera-2 frames (N1, 3)/(N2, 3);
+    descriptors aligned with them. Returns per-landmark-1 matches into the
+    landmark-2 block.
+    """
+    from . import lie as lie_ops
+
+    S21 = lie_ops.sim3_inv(S12)
+    p2_in_1 = lie_ops.sim3_apply(S12, Xc2[None])[0]      # (N2, 3) in cam1
+    p1_in_2 = lie_ops.sim3_apply(S21, Xc1[None])[0]      # (N1, 3) in cam2
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def proj(p):
+        z = jnp.maximum(p[:, 2], 1e-6)
+        return jnp.stack([fx * p[:, 0] / z + cx, fy * p[:, 1] / z + cy], -1), \
+            p[:, 2] > 0
+
+    uv1_of_1, _ = proj(Xc1)
+    uv2_of_2, _ = proj(Xc2)
+    uv1_of_2, ok2in1 = proj(p2_in_1)
+    uv2_of_1, ok1in2 = proj(p1_in_2)
+    dist = hamming_matrix(desc1, desc2)
+    # direction 1: landmark-2 projected near landmark-1's image location
+    mask_fwd = window_mask(uv1_of_1, uv1_of_2, radius) \
+        & valid1[:, None] & (valid2 & ok2in1)[None, :]
+    fwd = masked_best_match(dist, mask_fwd, max_dist)
+    # direction 2: landmark-1 projected near landmark-2's image location
+    mask_bwd = window_mask(uv2_of_2, uv2_of_1, radius) \
+        & valid2[:, None] & (valid1 & ok1in2)[None, :]
+    bwd = masked_best_match(dist.T, mask_bwd, max_dist)
+    mutual = bwd.idx[fwd.idx] == jnp.arange(desc1.shape[0])
+    return MatchResult(fwd.idx, fwd.dist,
+                       fwd.ok & bwd.ok[fwd.idx] & mutual & valid1)
+
+
 def fuse_by_projection(
     mp_desc, uv_proj, mp_octave_pred, mp_valid,
     kf_desc, kf_uv, kf_octave, kf_valid,
