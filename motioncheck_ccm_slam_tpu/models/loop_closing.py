@@ -145,6 +145,13 @@ class LoopCloser:
         )
         if int(opt.n_inliers) < self.config.opt.inliers_thres:
             return None
+        # scale plausibility gate: monocular drift between a revisit and the
+        # stored map is bounded; a wildly scaled Sim3 fit means the match/
+        # refinement latched onto a degenerate configuration and applying it
+        # would shear the whole neighborhood (relative offsets divide by s)
+        _, _, s = lie.split_sim3(opt.S12)
+        if not (0.5 < float(s) < 2.0):
+            return None
         return opt.S12, (feat1, feat2, mp1, mp2, np.asarray(opt.inliers))
 
     # ------------------------------------------------------------------

@@ -19,7 +19,7 @@ CONFIG = Config().replace(
     extractor=ExtractorParams(max_features=256, n_levels=4, n_features=256),
     capacity=CapacityParams(client_max_kfs=48, client_max_mps=6144),
     camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0),
-    placerec=PlaceRecParams(new_loop_thres=2, covisibility_consistency_th=2),
+    placerec=PlaceRecParams(new_loop_thres=10, covisibility_consistency_th=2),
     opt=OptParams(gba_iterations=4, solver_iterations=5),
 )
 
