@@ -21,6 +21,11 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: the 8-level extractor graph is large and its
+    # TPU compile dominates cold-start (~minutes); cache it across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from __graft_entry__ import entry
 
     fn, args = entry()

@@ -90,6 +90,34 @@ def level_feature_budgets(max_features: int, n_levels: int, scale: float) -> Lis
 # FAST corner response (dense, per level)
 # ---------------------------------------------------------------------------
 
+def _fast_ring_diff(img):
+    """(16, H, W) ring-minus-center differences shared by both thresholds."""
+    h, w = img.shape
+    p = jnp.pad(img, 3, mode="edge")
+    ring = []
+    for dx, dy in np.asarray(_FAST_RING):
+        ring.append(jax.lax.dynamic_slice(p, (3 + int(dy), 3 + int(dx)), (h, w)))
+    return jnp.stack(ring) - img[None]
+
+
+def _has_arc(mask):
+    """Wrap-around contiguous run of >= _FAST_ARC over the ring axis."""
+    m2 = jnp.concatenate([mask, mask[: _FAST_ARC - 1]], axis=0)  # (24, H, W)
+    out = jnp.zeros(mask.shape[1:], dtype=bool)
+    for r in range(16):
+        run = m2[r]
+        for j in range(1, _FAST_ARC):
+            run = run & m2[r + j]
+        out = out | run
+    return out
+
+
+def _interior_mask(h, w, border=3):
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    return (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+
+
 def fast_response(img, threshold: float):
     """Dense FAST-9/16 response map for a (H, W) f32 image.
 
@@ -98,35 +126,29 @@ def fast_response(img, threshold: float):
     OpenCV's arc-min score).
     """
     h, w = img.shape
-    p = jnp.pad(img, 3, mode="edge")
-    ring = []
-    for dx, dy in np.asarray(_FAST_RING):
-        ring.append(jax.lax.dynamic_slice(p, (3 + int(dy), 3 + int(dx)), (h, w)))
-    ring = jnp.stack(ring)  # (16, H, W)
-    diff = ring - img[None]
-    bright = diff > threshold
-    dark = diff < -threshold
-
-    def has_arc(mask):
-        # wrap-around contiguous run of >= _FAST_ARC
-        m2 = jnp.concatenate([mask, mask[: _FAST_ARC - 1]], axis=0)  # (24, H, W)
-        out = jnp.zeros(img.shape, dtype=bool)
-        for r in range(16):
-            run = m2[r]
-            for j in range(1, _FAST_ARC):
-                run = run & m2[r + j]
-            out = out | run
-        return out
-
-    corner = has_arc(bright) | has_arc(dark)
+    diff = _fast_ring_diff(img)
+    corner = _has_arc(diff > threshold) | _has_arc(diff < -threshold)
     score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
     score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
     score = jnp.maximum(score_b, score_d)
-    # exclude 3px border (ring would read padded values)
-    yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
-    interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return corner & interior, score
+    return corner & _interior_mask(h, w), score
+
+
+def fast_response_two_thresholds(img, th_hi: float, th_lo: float):
+    """Both threshold maps from ONE shared ring computation (the reference's
+    ini/min two-threshold retry re-runs cv::FAST; here the 16 shifted views
+    and diffs are computed once)."""
+    h, w = img.shape
+    diff = _fast_ring_diff(img)
+    interior = _interior_mask(h, w)
+
+    def at(threshold):
+        corner = _has_arc(diff > threshold) | _has_arc(diff < -threshold)
+        score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
+        score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+        return corner & interior, jnp.maximum(score_b, score_d)
+
+    return at(th_hi), at(th_lo)
 
 
 def _nms3(score):
@@ -154,8 +176,9 @@ def _select_level_keypoints(img, params: ExtractorParams, k_level: int,
     Returns xy (k_level, 2) f32 (level coords), score (k_level,), valid mask.
     """
     h, w = img.shape
-    corner_hi, score_hi = fast_response(img, float(params.ini_th_fast))
-    corner_lo, score_lo = fast_response(img, float(params.min_th_fast))
+    (corner_hi, score_hi), (corner_lo, score_lo) = fast_response_two_thresholds(
+        img, float(params.ini_th_fast), float(params.min_th_fast)
+    )
 
     # border exclusion for orientation/descriptor sampling
     b = params.edge_threshold
@@ -216,21 +239,41 @@ def _select_level_keypoints(img, params: ExtractorParams, k_level: int,
 # Orientation + descriptors (batched over keypoints)
 # ---------------------------------------------------------------------------
 
-def ic_angles(img, xy, half_patch: int):
-    """Intensity-centroid angles (radians) for keypoints xy (K, 2) on img."""
+def ic_moment_maps(img, half_patch: int):
+    """Dense IC moment maps: m10(x, y) = sum_patch dx * I, m01 likewise.
+
+    One depthwise convolution per moment (MXU work) replaces the reference's
+    per-keypoint circular-patch loop AND the gather-heavy patch extraction —
+    per keypoint the angle is then just two map lookups.
+    """
     mask, dxg, dyg = _ic_angle_mask(half_patch)
-    mask = jnp.asarray(mask)
-    dxg = jnp.asarray(dxg)
-    dyg = jnp.asarray(dyg)
+    # XLA's conv primitive is cross-correlation (no kernel flip), which is
+    # exactly the patch sum we want: m10(x,y) = sum dx * I(y+dy, x+dx)
+    kx = jnp.asarray(dxg * mask)
+    ky = jnp.asarray(dyg * mask)
+    p = half_patch
+    xpad = jnp.pad(img, ((p, p), (p, p)), mode="edge")[None, None]
+    dn = jax.lax.conv_dimension_numbers(
+        xpad.shape, (1, 1) + kx.shape, ("NCHW", "OIHW", "NCHW")
+    )
+    m10 = jax.lax.conv_general_dilated(
+        xpad, kx[None, None], (1, 1), "VALID", dimension_numbers=dn
+    )[0, 0]
+    m01 = jax.lax.conv_general_dilated(
+        xpad, ky[None, None], (1, 1), "VALID", dimension_numbers=dn
+    )[0, 0]
+    return m10, m01
+
+
+def ic_angles(img, xy, half_patch: int, moment_maps=None):
+    """Intensity-centroid angles (radians) for keypoints xy (K, 2) on img."""
+    if moment_maps is None:
+        moment_maps = ic_moment_maps(img, half_patch)
+    m10_map, m01_map = moment_maps
     h, w = img.shape
-    x0 = jnp.clip(jnp.round(xy[:, 0]), half_patch, w - 1 - half_patch).astype(jnp.int32)
-    y0 = jnp.clip(jnp.round(xy[:, 1]), half_patch, h - 1 - half_patch).astype(jnp.int32)
-    yy = y0[:, None, None] + jnp.asarray(dyg, jnp.int32)
-    xx = x0[:, None, None] + jnp.asarray(dxg, jnp.int32)
-    patch = img[yy, xx]  # (K, P, P)
-    m10 = jnp.sum(patch * dxg * mask, axis=(1, 2))
-    m01 = jnp.sum(patch * dyg * mask, axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    x0 = jnp.clip(jnp.round(xy[:, 0]), 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.round(xy[:, 1]), 0, h - 1).astype(jnp.int32)
+    return jnp.arctan2(m01_map[y0, x0], m10_map[y0, x0])
 
 
 def brief_descriptors(img_blur, xy, angles):

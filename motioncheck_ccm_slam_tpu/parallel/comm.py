@@ -234,6 +234,27 @@ class ClientComm:
                     if i <= msg.weak_ack_mp:
                         self.acked_mp.add(i)
                         self.sent_unacked_mp.discard(i)
+            # server-corrected vicinity poses (reference ProcessKfInClient
+            # :748: client keeps only the newest server window and applies
+            # corrected poses through predecessor relativity)
+            for r in msg.keyframes_red:
+                if r.client_id != self.client_id:
+                    continue
+                slot = m.kf_slot_by_id.get((r.kf_id, self.client_id))
+                if slot is None:
+                    continue
+                if r.pred_id >= 0:
+                    pred_slot = m.kf_slot_by_id.get((r.pred_id, self.client_id))
+                    if pred_slot is None:
+                        continue
+                    Tcw = r.Tcp @ np.asarray(m.kf.Tcw[pred_slot])
+                else:
+                    Tcw = r.Tcp
+                m.kf = m.kf._replace(
+                    Tcw=m.kf.Tcw.at[slot].set(
+                        jnp.asarray(Tcw.astype(np.float32))
+                    )
+                )
 
         out = MapMsg(sender_client_id=self.client_id)
         cfg = self.config.comm
@@ -515,8 +536,47 @@ class ServerComm:
             while (wa + 1) in self.processed_mp_ids:
                 wa += 1
             reply.weak_ack_mp = wa
+        # vicinity packing: ship the server-corrected poses of the covis
+        # neighborhood of the client's newest KF back down (reference
+        # Map::PackVicinityToMsg src/Map.cpp:1077; active when KfsToClient>0)
+        if cfg.server_kfs_to_client > 0:
+            reply.keyframes_red = self._pack_vicinity(cfg.server_kfs_to_client)
         self.channel.server_send(reply)
         return reply
+
+    def _pack_vicinity(self, max_kfs: int) -> List[KfRedMsg]:
+        m = self.map
+        valid = np.asarray(m.kf.valid)
+        cids = np.asarray(m.kf.client_id)
+        own = valid & (cids == self.client_id)
+        if not own.any():
+            return []
+        kf_ids = np.asarray(m.kf.kf_id)
+        newest = np.flatnonzero(own)[np.argmax(kf_ids[own])]
+        from ..models import map_state as ms
+
+        W = np.asarray(ms.covisibility(m.kf, m.nm))
+        order = np.argsort(-W[newest])
+        vicinity = [int(newest)] + [
+            int(s) for s in order if W[newest, s] >= 15 and valid[s]
+        ]
+        out: List[KfRedMsg] = []
+        for slot in vicinity[:max_kfs]:
+            if cids[slot] != self.client_id:
+                continue  # only this agent's frames go down its channel
+            pred = int(np.asarray(m.kf.pred[slot]))
+            Tcw = np.asarray(m.kf.Tcw[slot])
+            if pred >= 0 and valid[pred]:
+                pred_id = int(kf_ids[pred])
+                Tcp = Tcw @ np.linalg.inv(np.asarray(m.kf.Tcw[pred]))
+            else:
+                pred_id = -1
+                Tcp = Tcw
+            out.append(KfRedMsg(
+                kf_id=int(kf_ids[slot]), client_id=self.client_id,
+                Tcp=Tcp, pred_id=pred_id,
+            ))
+        return out
 
     @property
     def agent_finished(self) -> bool:
