@@ -70,6 +70,7 @@ def _finish(server, clients, out_dir, t0):
             cid: {
                 "frames": len(c.tracker.trajectory),
                 "state": c.tracker.state.name,
+                "relocs": c.tracker.n_relocs,
                 "client_kfs": c.map.n_kfs,
                 "client_mps": c.map.n_mps,
             }
@@ -89,11 +90,19 @@ def _finish(server, clients, out_dir, t0):
 def cmd_synth(args):
     import sys
 
-    from .config import CameraParams, Config
+    from .config import CameraParams, CapacityParams, Config, ExtractorParams
 
     config = Config().replace(
         camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
     )
+    if args.small:
+        # reduced shapes for CPU smoke runs (compile time, not capability)
+        config = config.replace(
+            extractor=ExtractorParams(max_features=512, n_levels=4,
+                                      n_features=512),
+            capacity=CapacityParams(client_max_kfs=24, client_max_mps=2048,
+                                    server_max_kfs=64, server_max_mps=8192),
+        )
     # the synthetic scene lives in tests/ for shared use
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from synth_scene import SynthScene
@@ -105,10 +114,19 @@ def cmd_synth(args):
                                                    else cid), speed=0.9)
         for cid in range(args.agents)
     ]
+    blackout = None
+    if args.blackout:
+        a, b = args.blackout.split(":")
+        blackout = (int(a), int(b))
     seqs = [list(s.sequence(args.frames)) for s in scenes]
+    import numpy as np
     for i in range(args.frames):
         for cid, c in enumerate(clients):
             t, _, img = seqs[cid][i]
+            if blackout and blackout[0] <= i < blackout[1]:
+                # fault injection: featureless frames force tracking loss
+                # (the reference's launch-file "Disturber" analog)
+                img = np.zeros_like(img)
             c.process_image(img, t)
         server.spin_once()
     _finish(server, clients, args.out, t0)
@@ -130,6 +148,13 @@ def cmd_euroc(args):
 
 
 def main():
+    # honor JAX_PLATFORMS even when a sitecustomize registered and pinned an
+    # accelerator plugin before we ran (jax.config wins over the env var)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     p = argparse.ArgumentParser(prog="motioncheck_ccm_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     ps = sub.add_parser("synth", help="synthetic multi-agent run")
@@ -137,6 +162,10 @@ def main():
     ps.add_argument("--frames", type=int, default=30)
     ps.add_argument("--out", default="/tmp/mcslam_synth")
     ps.add_argument("--shared-world", action="store_true", default=True)
+    ps.add_argument("--blackout", default=None, metavar="A:B",
+                    help="zero out frames [A, B) to force tracking loss")
+    ps.add_argument("--small", action="store_true",
+                    help="reduced feature/capacity preset for CPU smoke runs")
     ps.set_defaults(fn=cmd_synth)
     pe = sub.add_parser("euroc", help="EuRoC sequence replay")
     pe.add_argument("--seq", required=True, help="sequence dir (contains mav0)")

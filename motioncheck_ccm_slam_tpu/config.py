@@ -52,6 +52,11 @@ class TrackingParams:
     track_motion_model_inlier_thres_search: int = 20
     track_motion_model_inlier_thres_opt: int = 10
     track_local_map_inlier_thres: int = 30
+    # Relocalization after tracking loss. The reference fork only resets
+    # (src/Tracking.cpp:249-259); base ORB-SLAM2 relocalizes — we keep the
+    # capability behind a flag (PnP RANSAC against the clipped local map).
+    relocalize: bool = True
+    reloc_min_inliers: int = 15
 
 
 @dataclass(frozen=True)

@@ -149,6 +149,7 @@ class Tracker:
     last_kf_tracked: int = 0                      # inliers of last KF creation
     max_tracked_since_kf: int = 0                 # running max since last KF
     n_frames: int = 0
+    n_relocs: int = 0
     # trajectory log: (timestamp, Tcw (4,4) np) per frame for CSV export
     trajectory: list = dataclasses.field(default_factory=list)
     rng_key: jax.Array = dataclasses.field(
@@ -176,6 +177,8 @@ class Tracker:
             self._try_initialize(fr)
         elif self.state == TrackState.OK:
             self._track(fr)
+        elif self.state == TrackState.LOST and self.config.tracking.relocalize:
+            self._relocalize(fr)
         self.last_frame = fr
         self.trajectory.append((timestamp, np.asarray(fr.Tcw)))
         return fr
@@ -250,6 +253,55 @@ class Tracker:
             )
         self.frames_since_kf += 1
         self.max_tracked_since_kf = max(self.max_tracked_since_kf, n_inliers)
+
+    # -- relocalization -------------------------------------------------------
+    def _relocalize(self, fr: frame_mod.Frame) -> bool:
+        """Recover the pose against the clipped local map after tracking loss.
+
+        The reference fork resets on loss (src/Tracking.cpp:249-259); base
+        ORB-SLAM2's Relocalization() does BoW candidate retrieval + per-KF
+        EPnP RANSAC. On TPU the clipped client map (<= a few thousand
+        landmarks) fits one brute-force Hamming match + one batched PnP
+        RANSAC, so candidate KF selection is unnecessary: match the frame
+        against *all* landmarks, solve PnP over the matches, then densify and
+        polish with the regular two-pass tracking kernel.
+        """
+        cfg = self.config
+        K, sf, inv_s2 = self._camera_arrays()
+        mp = self.map.mp
+        m = matching.mutual_match(
+            mp.desc, mp.valid, fr.feats.desc, fr.feats.valid,
+            max_dist=matching.TH_LOW, nn_ratio=0.85,
+        )
+        if int(jnp.sum(m.ok)) < 10:
+            return False
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        res = ransac.pnp_ransac(
+            sub, mp.Xw, fr.feats.xy[m.idx], m.ok, K,
+            min_inliers=cfg.tracking.reloc_min_inliers,
+        )
+        if not bool(res.success):
+            return False
+        Tcw, assoc, n_inl, vis_mask, found_mask = _track_two_pass(
+            fr.feats.xy, fr.feats.desc, fr.feats.octave, fr.feats.angle,
+            fr.feats.valid,
+            res.Tcw,
+            mp.Xw, mp.desc, mp.normal, mp.min_dist, mp.max_dist, mp.valid,
+            K, cfg.camera.width, cfg.camera.height, sf, inv_s2,
+            cfg.extractor.n_levels,
+        )
+        n_inliers = int(n_inl)
+        if n_inliers < cfg.tracking.matches_inliers_thres:
+            return False
+        fr.Tcw = Tcw
+        fr.mp_idx = assoc
+        fr.n_tracked = n_inliers
+        self.state = TrackState.OK
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.max_tracked_since_kf = n_inliers
+        self.n_relocs += 1
+        return True
 
     def need_new_keyframe(self, fr: frame_mod.Frame) -> bool:
         """KF decision (reference NeedNewKeyFrame :730, simplified to its

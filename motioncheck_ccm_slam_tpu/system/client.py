@@ -49,6 +49,14 @@ class ClientSystem:
 
     def process_image(self, img, timestamp: float) -> Frame:
         fr = self.tracker.process(img, timestamp)
+        if (
+            self.tracker.state == tracking_mod.TrackState.LOST
+            and self.map.n_kfs <= self.config.tracking.init_kfs
+        ):
+            # lost soon after init: full reset (reference Tracking::Track
+            # src/Tracking.cpp:249-259 via ClientHandler::Reset)
+            self._reset_map()
+            return fr
         if self.tracker.init_result is not None:
             self._create_initial_map()
         elif (
