@@ -63,6 +63,10 @@ def _finish(server, clients, out_dir, t0):
             h.map, os.path.join(out_dir, f"map_{cid}.png"),
             title=f"server map (handler {cid})",
         )
+        viewer.export_html(
+            h.map, os.path.join(out_dir, f"map_{cid}.html"),
+            title=f"server map (handler {cid})",
+        )
     stats = {
         "wall_s": round(time.time() - t0, 1),
         "n_merges": server.n_merges,

@@ -39,14 +39,32 @@ def popcount_u32(x):
     return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
 
+def unpack_descriptor_bits(d):
+    """(N, 8) u32 packed descriptors -> (N, 256) i8 bit matrix (0/1)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (d[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(d.shape[0], 256).astype(jnp.int8)
+
+
 def hamming_matrix(d1, d2):
     """(N, 8) u32 x (M, 8) u32 -> (N, M) i32 Hamming distances (0..256).
 
     Replaces ORBmatcher::DescriptorDistance (src/ORBmatcher.cpp popcount
-    loop) with a broadcast XOR + SWAR popcount over the whole block.
+    loop). Rather than a broadcast XOR + SWAR popcount (which materializes an
+    (N, M, 8) intermediate on the VPU), the distance matrix is one int8
+    matmul on the MXU: with b in {0,1}^256,
+        ham(x, y) = pop(x) + pop(y) - 2 * <b_x, b_y>.
     """
-    x = d1[:, None, :] ^ d2[None, :, :]
-    return jnp.sum(popcount_u32(x), axis=-1)
+    b1 = unpack_descriptor_bits(d1)
+    b2 = unpack_descriptor_bits(d2)
+    p1 = jnp.sum(b1.astype(jnp.int32), axis=-1)
+    p2 = jnp.sum(b2.astype(jnp.int32), axis=-1)
+    dot = jax.lax.dot_general(
+        b1, b2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return p1[:, None] + p2[None, :] - 2 * dot
 
 
 def hamming_rows(d1, d2):

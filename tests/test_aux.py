@@ -65,6 +65,23 @@ def test_viewer_export(tmp_path):
     assert os.path.getsize(out) > 5000
 
 
+def test_viewer_html_export(tmp_path):
+    m, slots = build_map()
+    from motioncheck_ccm_slam_tpu.utils import viewer
+
+    out = str(tmp_path / "map.html")
+    viewer.export_html(m, out, title="t")
+    with open(out) as f:
+        html = f.read()
+    assert "\"points\":" in html and "\"trajs\":" in html
+    # every valid KF center must appear in some trajectory
+    n_kf = int(np.asarray(m.kf.valid).sum())
+    import json, re
+
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", html, re.S).group(1))
+    assert sum(len(t["pts"]) for t in data["trajs"]) == n_kf
+
+
 def test_watchdog():
     w = Watchdog(timeout_s=0.01)
     w.beat("tracking", "frame 5")
