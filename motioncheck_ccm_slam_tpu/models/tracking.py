@@ -73,7 +73,7 @@ def _project_and_predict(Tcw, Xw, normal, min_dist, max_dist, mp_valid, K,
 @functools.partial(jax.jit, static_argnames=("n_levels",))
 def _track_two_pass(
     feats_xy, feats_desc, feats_octave, feats_angle, feats_valid,
-    Tcw_pred,
+    Tcw_pred, Tcw_last,
     mp_Xw, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
     K, width, height, scale_factor_arr, inv_sigma2_arr,
     n_levels,
@@ -95,21 +95,38 @@ def _track_two_pass(
         )
         return m, visible
 
-    # pass 1: wide radius at predicted pose
-    m1, vis1 = match_pass(Tcw_pred, 15.0, 0.9)
-    # per-feature association arrays for pose opt
     F = feats_xy.shape[0]
     NM = mp_Xw.shape[0]
-    feat_mp = jnp.full((F,), -1, jnp.int32)
-    feat_mp = feat_mp.at[jnp.where(m1.ok, m1.idx, F)].set(
-        jnp.where(m1.ok, jnp.arange(NM, dtype=jnp.int32), -1), mode="drop"
-    )
-    has = feat_mp >= 0
-    Xg = mp_Xw[jnp.maximum(feat_mp, 0)]
     inv_s2 = inv_sigma2_arr[jnp.clip(feats_octave, 0, n_levels - 1)]
-    res1 = pose_opt.optimize_pose(
-        Tcw_pred, Xg, feats_xy, inv_s2, has & feats_valid, K,
-        n_rounds=2, iters_per_round=8,
+
+    def pass1(Tcw0):
+        """Wide-radius match at a pose candidate + quick pose opt."""
+        m1, vis1 = match_pass(Tcw0, 15.0, 0.9)
+        feat_mp = jnp.full((F,), -1, jnp.int32)
+        feat_mp = feat_mp.at[jnp.where(m1.ok, m1.idx, F)].set(
+            jnp.where(m1.ok, jnp.arange(NM, dtype=jnp.int32), -1), mode="drop"
+        )
+        has = feat_mp >= 0
+        Xg = mp_Xw[jnp.maximum(feat_mp, 0)]
+        return pose_opt.optimize_pose(
+            Tcw0, Xg, feats_xy, inv_s2, has & feats_valid, K,
+            n_rounds=2, iters_per_round=8,
+        )
+
+    # pass 1 evaluates BOTH pose candidates — the constant-velocity
+    # prediction and the last frame's pose — and keeps the one with more
+    # inliers. A bad velocity (after a map update or a pose spike) would
+    # otherwise overshoot the prediction into feature-aliasing territory and
+    # self-amplify frame over frame; the last-pose candidate breaks that
+    # feedback loop (the reference's TrackReferenceKeyFrame fallback plays
+    # this role, src/Tracking.cpp:516-567).
+    resA = pass1(Tcw_pred)
+    resB = pass1(Tcw_last)
+    use_a = resA.n_inliers >= resB.n_inliers
+    res1 = pose_opt.PoseOptResult(
+        Tcw=jnp.where(use_a, resA.Tcw, resB.Tcw),
+        inliers=jnp.where(use_a, resA.inliers, resB.inliers),
+        n_inliers=jnp.where(use_a, resA.n_inliers, resB.n_inliers),
     )
     # pass 2: tight radius at refined pose, full map again
     m2, vis2 = match_pass(res1.Tcw, 4.0, 1.0)
@@ -220,15 +237,16 @@ class Tracker:
     def _track(self, fr: frame_mod.Frame):
         cfg = self.config
         K, sf, inv_s2 = self._camera_arrays()
+        Tcw_last = self.last_frame.Tcw if self.last_frame is not None else fr.Tcw
         if self.velocity is not None and self.last_frame is not None:
             Tcw_pred = jnp.asarray(self.velocity) @ self.last_frame.Tcw
         else:
-            Tcw_pred = self.last_frame.Tcw if self.last_frame is not None else fr.Tcw
+            Tcw_pred = Tcw_last
         mp = self.map.mp
         Tcw, assoc, n_inl, vis_mask, found_mask = _track_two_pass(
             fr.feats.xy, fr.feats.desc, fr.feats.octave, fr.feats.angle,
             fr.feats.valid,
-            Tcw_pred,
+            Tcw_pred, Tcw_last,
             mp.Xw, mp.desc, mp.normal, mp.min_dist, mp.max_dist, mp.valid,
             K, cfg.camera.width, cfg.camera.height, sf, inv_s2,
             cfg.extractor.n_levels,
@@ -285,7 +303,7 @@ class Tracker:
         Tcw, assoc, n_inl, vis_mask, found_mask = _track_two_pass(
             fr.feats.xy, fr.feats.desc, fr.feats.octave, fr.feats.angle,
             fr.feats.valid,
-            res.Tcw,
+            res.Tcw, res.Tcw,
             mp.Xw, mp.desc, mp.normal, mp.min_dist, mp.max_dist, mp.valid,
             K, cfg.camera.width, cfg.camera.height, sf, inv_s2,
             cfg.extractor.n_levels,

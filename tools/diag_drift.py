@@ -34,6 +34,22 @@ CONFIG = Config().replace(
 def main(n_frames=80):
     scene = SynthScene(CONFIG, n_points=700, seed=3, speed=0.9)
     client = ClientSystem(config=CONFIG)
+    # ablations (env switches):
+    #   NO_VEL=1    — disable the constant-velocity motion model
+    #   NO_BA=1     — skip local BA in the mapping pipeline
+    #   NO_KFS=1    — never insert keyframes after bootstrap
+    if os.environ.get("NO_VEL"):
+        cls = type(client.tracker)
+        orig = cls._track
+        def _track_novel(self, fr):
+            self.velocity = None
+            return orig(self, fr)
+        cls._track = _track_novel
+    if os.environ.get("NO_BA"):
+        from motioncheck_ccm_slam_tpu.models import mapping as mapping_mod
+        mapping_mod.run_local_ba = lambda *a, **k: 0.0
+    if os.environ.get("NO_KFS"):
+        client.tracker.need_new_keyframe = lambda fr: False
     est, gt = [], []
     for t, Tcw_gt, img in scene.sequence(n_frames):
         fr = client.process_image(img, t)
