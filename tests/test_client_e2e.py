@@ -26,10 +26,10 @@ def run_sequence():
     scene = SynthScene(TEST_CONFIG, n_points=500, seed=3, speed=0.9)
     client = ClientSystem(config=TEST_CONFIG)
     gt = []
-    # 16 frames (~0.7 m travel) sits inside the drift-stable window of this
-    # linear-corridor scenario; longer monocular runs without loop closure
-    # accumulate scale drift (see ROADMAP).
-    n_frames = 16
+    # 40 frames (~1.8 m travel): long enough that the old constant-velocity
+    # feedback runaway (fixed by the two-candidate pass 1, see ROADMAP #1)
+    # would trip tracking loss if it regressed
+    n_frames = 40
     for t, Tcw_gt, img in scene.sequence(n_frames):
         client.process_image(img, t)
         gt.append(Tcw_gt)
@@ -51,8 +51,9 @@ def test_trajectory_accuracy(run_sequence):
     moved = np.linalg.norm(est_t, axis=-1) > 1e-6
     k = int(np.argmax(moved)) + 1
     rmse, mx = ate_rmse(est_t[k:], gt_t[k:])
-    # ground-truth trajectory spans ~0.7 m; demand sub-cm after Sim3 alignment
-    assert rmse < 0.02, f"ATE RMSE {rmse}"
+    # trajectory spans ~1.8 m; <= 2-3% of span is solid monocular VO
+    # without loop closure (measured ~3.7 cm at 40 frames)
+    assert rmse < 0.05, f"ATE RMSE {rmse}"
 
 
 def test_keyframes_created(run_sequence):
