@@ -20,6 +20,18 @@ import os
 import time
 
 
+def _small_preset(config):
+    """Reduced shapes for CPU smoke runs (compile time, not capability)."""
+    from .config import CapacityParams, ExtractorParams
+
+    return config.replace(
+        extractor=ExtractorParams(max_features=512, n_levels=4,
+                                  n_features=512),
+        capacity=CapacityParams(client_max_kfs=24, client_max_mps=2048,
+                                server_max_kfs=64, server_max_mps=8192),
+    )
+
+
 def _build_system(config, n_agents):
     from .parallel import comm as comm_mod
     from .system.client import ClientSystem
@@ -89,24 +101,19 @@ def _finish(server, clients, out_dir, t0):
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     print(json.dumps(stats, indent=2))
+    return stats
 
 
 def cmd_synth(args):
     import sys
 
-    from .config import CameraParams, CapacityParams, Config, ExtractorParams
+    from .config import CameraParams, Config
 
     config = Config().replace(
         camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
     )
     if args.small:
-        # reduced shapes for CPU smoke runs (compile time, not capability)
-        config = config.replace(
-            extractor=ExtractorParams(max_features=512, n_levels=4,
-                                      n_features=512),
-            capacity=CapacityParams(client_max_kfs=24, client_max_mps=2048,
-                                    server_max_kfs=64, server_max_mps=8192),
-        )
+        config = _small_preset(config)
     # the synthetic scene lives in tests/ for shared use
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from synth_scene import SynthScene
@@ -137,10 +144,21 @@ def cmd_synth(args):
 
 
 def cmd_euroc(args):
-    from .config import Config
+    import numpy as np
+
+    from .config import CameraParams, Config
+    from .utils import csv_io
     from .utils.euroc import EurocSequence
 
     config = Config()
+    if getattr(args, "synth_camera", False):
+        # pure-pinhole camera for synthetic ASL-format fixtures (the renderer
+        # applies no lens distortion)
+        config = config.replace(
+            camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
+        )
+    if getattr(args, "small", False):
+        config = _small_preset(config)
     t0 = time.time()
     server, clients = _build_system(config, 1)
     seq = EurocSequence(args.seq)
@@ -148,7 +166,32 @@ def cmd_euroc(args):
                                              stride=args.stride)):
         clients[0].process_image(img, ts)
         server.spin_once()
-    _finish(server, clients, args.out, t0)
+    stats = _finish(server, clients, args.out, t0)
+    # ATE vs ground truth, the reference's offline evaluation of its
+    # KF_FINAL_* dumps (SURVEY.md §4): Sim3-align the server keyframe
+    # trajectory (body frame) against interpolated groundtruth positions.
+    if seq.ground_truth() is not None:
+        h = server.handlers[0]
+        kf = h.map.kf
+        valid = np.asarray(kf.valid) & (np.asarray(kf.client_id) == 0)
+        ts_kf = np.asarray(kf.timestamp)[valid]
+        Ts = np.asarray(kf.Tcw)[valid]
+        order = np.argsort(ts_kf)
+        rows = csv_io.trajectory_rows(
+            [(float(ts_kf[i]), Ts[i]) for i in order], config
+        )
+        if len(rows) >= 3:
+            stamps = np.array([r[0] for r in rows])
+            est = np.stack([r[1] for r in rows])
+            gt_pos = seq.gt_positions_at(stamps)
+            rmse, mx = csv_io.ate_rmse(est, gt_pos)
+            stats["ate_rmse_m"] = round(rmse, 4)
+            stats["ate_max_m"] = round(mx, 4)
+            with open(os.path.join(args.out, "stats.json"), "w") as f:
+                json.dump(stats, f, indent=2)
+            print(f"ATE RMSE {rmse*100:.2f} cm  max {mx*100:.2f} cm "
+                  f"over {len(rows)} KFs")
+    return stats
 
 
 def main():
@@ -176,6 +219,10 @@ def main():
     pe.add_argument("--frames", type=int, default=None)
     pe.add_argument("--stride", type=int, default=1)
     pe.add_argument("--out", default="/tmp/mcslam_euroc")
+    pe.add_argument("--small", action="store_true",
+                    help="reduced feature/capacity preset for CPU smoke runs")
+    pe.add_argument("--synth-camera", action="store_true",
+                    help="zero-distortion pinhole (for synthetic fixtures)")
     pe.set_defaults(fn=cmd_euroc)
     args = p.parse_args()
     args.fn(args)
