@@ -101,15 +101,22 @@ def _fast_ring_diff(img):
 
 
 def _has_arc(mask):
-    """Wrap-around contiguous run of >= _FAST_ARC over the ring axis."""
-    m2 = jnp.concatenate([mask, mask[: _FAST_ARC - 1]], axis=0)  # (24, H, W)
-    out = jnp.zeros(mask.shape[1:], dtype=bool)
-    for r in range(16):
-        run = m2[r]
-        for j in range(1, _FAST_ARC):
-            run = run & m2[r + j]
-        out = out | run
-    return out
+    """Wrap-around contiguous run of >= _FAST_ARC over the ring axis.
+
+    Bit-packed: the 16 ring booleans per pixel become one int32 map (bit i =
+    ring position i), duplicated into the high half for wraparound; the
+    AND-of-9-consecutive reduction is then 8 shift-ANDs on a single int map
+    instead of 16x8 boolean map ANDs (16x less VPU work).
+    """
+    bits = mask.astype(jnp.int32)
+    m = bits[0]
+    for i in range(1, 16):
+        m = m | (bits[i] << i)
+    dup = m | (m << 16)
+    run = dup
+    for k in range(1, _FAST_ARC):
+        run = run & (dup >> k)
+    return (run & jnp.int32(0xFFFF)) != 0
 
 
 def _interior_mask(h, w, border=3):
@@ -239,30 +246,67 @@ def _select_level_keypoints(img, params: ExtractorParams, k_level: int,
 # Orientation + descriptors (batched over keypoints)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _ic_moment_factors(half_patch: int, rel_err: float = 0.01):
+    """Low-rank separable factorization of the m10 moment kernel.
+
+    The 31x31 kernel kx(dy, dx) = dx * disc(dy, dx) is nearly low-rank; its
+    truncated SVD (rank r with Frobenius error < rel_err) turns the dense
+    single-channel 2D conv — which maps terribly onto the MXU (C_in = 1) —
+    into r separable 1-D conv pairs. The m01 kernel is exactly kx^T, so it
+    shares the same factors with the roles of the 1-D filters swapped.
+    Returns (uy, vx): uy (31, r) vertical factors scaled by singular values,
+    vx (r, 31) horizontal factors.
+    """
+    mask, dxg, dyg = _ic_angle_mask(half_patch)
+    k = (dxg * mask).astype(np.float64)
+    U, S, Vt = np.linalg.svd(k)
+    tail = np.sqrt(np.cumsum((S ** 2)[::-1])[::-1])  # tail[r] = err of rank r
+    ok = tail / tail[0] < rel_err
+    r = int(np.argmax(ok)) if ok.any() else len(S)
+    r = max(r, 1)
+    uy = (U[:, :r] * S[:r]).astype(np.float32)
+    vx = Vt[:r].astype(np.float32)
+    return uy, vx
+
+
 def ic_moment_maps(img, half_patch: int):
     """Dense IC moment maps: m10(x, y) = sum_patch dx * I, m01 likewise.
 
-    One depthwise convolution per moment (MXU work) replaces the reference's
-    per-keypoint circular-patch loop AND the gather-heavy patch extraction —
-    per keypoint the angle is then just two map lookups.
+    Two separable low-rank conv passes (see _ic_moment_factors) replace the
+    reference's per-keypoint circular-patch loop AND the gather-heavy patch
+    extraction — per keypoint the angle is then just two map lookups. XLA's
+    conv primitive is cross-correlation (no kernel flip), which is exactly
+    the patch sum we want: m10(x,y) = sum dx * I(y+dy, x+dx), and separable
+    cross-correlation composes without flips.
     """
-    mask, dxg, dyg = _ic_angle_mask(half_patch)
-    # XLA's conv primitive is cross-correlation (no kernel flip), which is
-    # exactly the patch sum we want: m10(x,y) = sum dx * I(y+dy, x+dx)
-    kx = jnp.asarray(dxg * mask)
-    ky = jnp.asarray(dyg * mask)
+    uy, vx = _ic_moment_factors(half_patch)
+    r = vx.shape[0]
     p = half_patch
-    xpad = jnp.pad(img, ((p, p), (p, p)), mode="edge")[None, None]
+    ksz = 2 * p + 1
+    x = jnp.pad(img, ((p, p), (p, p)), mode="edge")[None, None]
+    # horizontal pass: 2r channels = [conv_x v_i] (for m10) ++ [conv_x u_i s_i]
+    # (for m01 = kx^T's horizontal factors)
+    kh = np.zeros((2 * r, 1, 1, ksz), np.float32)
+    kh[:r, 0, 0, :] = vx
+    kh[r:, 0, 0, :] = uy.T
     dn = jax.lax.conv_dimension_numbers(
-        xpad.shape, (1, 1) + kx.shape, ("NCHW", "OIHW", "NCHW")
+        x.shape, kh.shape, ("NCHW", "OIHW", "NCHW")
     )
-    m10 = jax.lax.conv_general_dilated(
-        xpad, kx[None, None], (1, 1), "VALID", dimension_numbers=dn
-    )[0, 0]
-    m01 = jax.lax.conv_general_dilated(
-        xpad, ky[None, None], (1, 1), "VALID", dimension_numbers=dn
-    )[0, 0]
-    return m10, m01
+    mid = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kh), (1, 1), "VALID", dimension_numbers=dn
+    )
+    # vertical pass combines channels into the two moment maps
+    kv = np.zeros((2, 2 * r, ksz, 1), np.float32)
+    kv[0, :r, :, 0] = uy.T
+    kv[1, r:, :, 0] = vx
+    dn2 = jax.lax.conv_dimension_numbers(
+        mid.shape, kv.shape, ("NCHW", "OIHW", "NCHW")
+    )
+    out = jax.lax.conv_general_dilated(
+        mid, jnp.asarray(kv), (1, 1), "VALID", dimension_numbers=dn2
+    )
+    return out[0, 0], out[0, 1]
 
 
 def ic_angles(img, xy, half_patch: int, moment_maps=None):
