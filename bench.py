@@ -27,6 +27,54 @@ N_ITERS = 64
 N_IMGS = 4
 
 
+def bench_gba(jax, jnp):
+    """Matrix-free GBA throughput at the reference server operating point:
+    2048 KFs, 65536 landmarks, ~2M observations (config.py capacity +
+    cslam/conf/config.yaml budgets). The dense-W formulation would need a
+    ~9.7 GB Schur W here; the matrix-free PCG path is what the server
+    actually runs. Returns LM iterations/s."""
+    from motioncheck_ccm_slam_tpu.parallel import sharded_ba
+    from motioncheck_ccm_slam_tpu.solvers import ba_core
+
+    rng = np.random.default_rng(7)
+    C, L = 2048, 65536
+    obs_per_cam = 1000
+    O = C * obs_per_cam                      # ~2M observations
+    pts = rng.uniform(-8, 8, (L, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 4.0
+    Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    Tcw[:, 0, 3] = rng.uniform(-0.5, 0.5, C)
+    Tcw[:, 1, 3] = rng.uniform(-0.5, 0.5, C)
+    fx = fy = 458.0
+    cx, cy = 376.0, 240.0
+    K = jnp.asarray(
+        np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    )
+    cam_idx = np.repeat(np.arange(C), obs_per_cam).astype(np.int32)
+    lm_idx = rng.integers(0, L, O).astype(np.int32)
+    pc = np.einsum("oij,oj->oi", Tcw[cam_idx][:, :3, :3], pts[lm_idx]) \
+        + Tcw[cam_idx][:, :3, 3]
+    z = np.maximum(pc[:, 2], 1e-3)
+    uv = np.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
+    uv = (uv + rng.normal(0, 0.5, uv.shape)).astype(np.float32)
+    obs = ba_core.BAObservations(
+        cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv), inv_sigma2=jnp.ones(O, jnp.float32),
+        valid=jnp.ones(O, bool),
+    )
+    gba = sharded_ba.make_matrix_free_gba(pcg_iters=25)
+    fixed_cam = jnp.zeros(C, bool).at[0].set(True)
+    fixed_lm = jnp.zeros(L, bool)
+    args = (jnp.asarray(Tcw), jnp.asarray(pts), obs, K, fixed_cam, fixed_lm)
+    # warm up (compile) with one iteration, then time a 10-iteration run
+    float(gba(*args, n_iterations=1).cost)
+    n_it = 10
+    t0 = time.perf_counter()
+    float(gba(*args, n_iterations=n_it).cost)
+    dt = time.perf_counter() - t0
+    return n_it / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -80,11 +128,21 @@ def main():
     dt = time.perf_counter() - t0
     fps = N_ITERS / dt
 
+    gba_iters_per_s = bench_gba(jax, jnp)
+
     print(json.dumps({
         "metric": "tracking_step_frames_per_s",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.0, 2),
+        "extra": {
+            # full-map GBA at the server operating point (2048 KFs, 65k MPs,
+            # ~2M obs), matrix-free PCG solver, one chip
+            "gba_iters_per_s_2048kf_2Mobs": round(gba_iters_per_s, 3),
+            # the reference's GBA budget is 20 LM iterations
+            # (cslam/conf/config.yaml:129): seconds per full server GBA
+            "gba_20it_wallclock_s": round(20.0 / gba_iters_per_s, 2),
+        },
     }))
 
 

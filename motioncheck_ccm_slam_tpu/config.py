@@ -110,6 +110,8 @@ class OptParams:
     max_iterations: int = 300
     gba_iterations: int = 20
     ess_graph_min_feats: int = 100
+    # essential-graph LM budget (reference Optimizer.cpp: optimize(20))
+    ess_graph_iterations: int = 20
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,28 @@ class GBAResult:
     mc_longest_run: int = 0
 
 
+# Above this dense-W footprint (6C x 3L f32) the Schur solve switches to the
+# matrix-free PCG solver — at the server operating point (2048 KFs, 65k MPs)
+# the dense W alone would be ~9.7 GB and cannot run on one chip.
+DENSE_W_MAX_BYTES = 256 * 2 ** 20
+
+_matrix_free_cache: dict = {}
+
+
+def _pick_solver(C: int, L: int, pcg_iters: int = 25):
+    """None -> dense-W local_ba path; else a matrix-free solver callable."""
+    if 6 * C * 3 * L * 4 <= DENSE_W_MAX_BYTES:
+        return None
+    from ..parallel import sharded_ba
+
+    key = pcg_iters
+    if key not in _matrix_free_cache:
+        _matrix_free_cache[key] = sharded_ba.make_matrix_free_gba(
+            pcg_iters=pcg_iters
+        )
+    return _matrix_free_cache[key]
+
+
 def build_observations(kf: ms.KFBlock, config: Config) -> ba_core.BAObservations:
     cam, feat, lm, uv, octv, ok = ms.gather_observations(kf, 0)
     inv_s2_tab = jnp.asarray(orb.inv_level_sigma2(config.extractor))
@@ -86,7 +108,11 @@ def run_gba(
     fixed_j = jnp.asarray(fixed)
 
     result = GBAResult()
-    solver = sharded_solver if sharded_solver is not None else None
+    # solver selection: explicit sharded solver > size-based matrix-free >
+    # dense-W Schur (small maps)
+    solver = sharded_solver
+    if solver is None:
+        solver = _pick_solver(int(m.kf.Tcw.shape[0]), int(m.mp.Xw.shape[0]))
     done = 0
     Tcw, Xw = m.kf.Tcw, m.mp.Xw
     while done < iterations:

@@ -162,7 +162,16 @@ class LoopCloser:
         cfg = self.config
         m = self.map
         kf, mp = m.kf, m.mp
-        W = self._covis()
+        W_before = self._covis()
+
+        # snapshot the pre-correction poses: these are the reference's
+        # NonCorrectedSim3 (src/LoopFinder.cpp:520-566) — the essential-graph
+        # *normal* edges must measure relative transforms from THESE, not
+        # from the corrected poses, or every residual is log(I)=0 and the
+        # solve is a no-op.
+        T_before = kf.Tcw
+        S_before = lie.make_sim3(T_before[:, :3, :3], T_before[:, :3, 3],
+                                 jnp.ones(m.nk, jnp.float32))
 
         # corrected Sim3 world pose of the current KF:
         # S_cur_w(corrected) = S12 . T_cand_w  (reference mg2oScw = gScm*gSmw)
@@ -172,7 +181,7 @@ class LoopCloser:
         S_cur_corr = S12 @ S_cand
 
         # neighborhood to correct: covis group of cur
-        grp = sorted(self._covis_group(cur, W))
+        grp = sorted(self._covis_group(cur, W_before))
         grp_idx = jnp.asarray(np.array(grp, np.int32))
         T_cur = kf.Tcw[cur]
         S_cur = lie.make_sim3(T_cur[:3, :3], T_cur[:3, 3], jnp.float32(1.0))
@@ -185,20 +194,24 @@ class LoopCloser:
         S_corr = S_ic @ S_cur_corr[None]
 
         # correct landmarks of the neighborhood: X' = S_corr^-1( S_old(X) )
-        # for each landmark referenced by a corrected KF
-        owned = np.zeros(m.nm, np.int64)
+        # for each landmark referenced by a corrected KF; remember the owner
+        # (reference mCorrectedReference_LC) so the essential-graph landmark
+        # correction later uses the CORRECTED owner pose as its "before".
         mp_idx_np = np.asarray(kf.mp_idx)
-        owner_of = np.full(m.nm, -1, np.int64)
+        owner_of = np.full(m.nm, -1, np.int64)   # group-slot that corrected it
         for gi, s in enumerate(grp):
             lm = mp_idx_np[s]
             lm = lm[lm >= 0]
             for l in lm:
                 if owner_of[l] < 0:
-                    owner_of[l] = gi
+                    owner_of[l] = s
         corrected_mask = owner_of >= 0
         sel = np.flatnonzero(corrected_mask)
         if len(sel):
-            gi = jnp.asarray(owner_of[sel].astype(np.int32))
+            slot_to_gi = {s: gi for gi, s in enumerate(grp)}
+            gi = jnp.asarray(
+                np.array([slot_to_gi[s] for s in owner_of[sel]], np.int32)
+            )
             S_old = S_grp[gi]
             S_new_inv = lie.sim3_inv(S_corr[gi])
             X = mp.Xw[jnp.asarray(sel)]
@@ -209,10 +222,6 @@ class LoopCloser:
         # write corrected poses (SE3 projection: t/s)
         T_corr = pose_graph.se3_from_sim3(S_corr)
         kf = kf._replace(Tcw=kf.Tcw.at[grp_idx].set(T_corr))
-        # record the loop edge
-        kf = kf._replace(
-            loop_edge=kf.loop_edge.at[cur].set(cand).at[cand].set(cur)
-        )
         m.kf, m.mp = kf, mp
 
         # landmark fusion around the corrected region (reference
@@ -222,8 +231,17 @@ class LoopCloser:
         mapping_mod.fuse_neighbors(m, grp, cfg)
 
         # essential-graph optimization (reference
-        # OptimizeEssentialGraphLoopClosure :696 / Optimizer.cpp:1064)
-        self._optimize_essential_graph(cur, cand, W)
+        # OptimizeEssentialGraphLoopClosure :696 / Optimizer.cpp:1064);
+        # fusion created new cross-loop covis links (LoopConnections)
+        W_after = self._covis()
+        self._optimize_essential_graph(
+            cur, cand, grp, S_before, W_before, W_after, owner_of
+        )
+
+        # record the loop edge AFTER the solve (reference LoopFinder.cpp:699)
+        m.kf = m.kf._replace(
+            loop_edge=m.kf.loop_edge.at[cur].set(cand).at[cand].set(cur)
+        )
 
         # Motion-Check-gated GBA (reference: spawn RunGBA :746 then MC)
         if self.run_gba_after_loop:
@@ -233,64 +251,122 @@ class LoopCloser:
         return True
 
     # ------------------------------------------------------------------
-    def _optimize_essential_graph(self, cur: int, cand: int, W):
-        """Build and solve the Sim3 pose graph over valid KFs."""
+    def _optimize_essential_graph(self, cur: int, cand: int, grp,
+                                  S_before_full, W_before, W_after,
+                                  lm_owner):
+        """Build and solve the Sim3 pose graph, compacted to valid KFs.
+
+        Reference semantics (Optimizer.cpp:1064-1337):
+        - vertex estimates: current poses (corrected for the covis group,
+          pre-correction for everyone else); the loop KF is the fixed gauge;
+        - loop-connection edges (new covis links across the loop created by
+          fusion, plus the cur-cand pair) measure from the CORRECTED
+          estimates (vScw);
+        - normal edges (spanning tree, previous loop edges, strong covis)
+          measure from the PRE-correction poses (NonCorrectedSim3).
+        """
         cfg = self.config
         m = self.map
         kf = m.kf
         valid = np.asarray(kf.valid)
         slots = np.flatnonzero(valid)
-        V = m.nk
-        # vertices: all slots (invalid -> fixed identity)
-        T = kf.Tcw
-        S_iw = lie.make_sim3(T[:, :3, :3], T[:, :3, 3],
-                             jnp.ones(V, jnp.float32))
-        # edges: spanning tree (parent), loop edges, strong covis
-        ei, ej, w = [], [], []
+        V = len(slots)
+        if V < 2:
+            return
+        comp = np.full(m.nk, -1, np.int64)
+        comp[slots] = np.arange(V)
+        slots_j = jnp.asarray(slots.astype(np.int32))
+
+        # vertex init: current poses = corrected group + uncorrected rest
+        T = kf.Tcw[slots_j]
+        S_init = lie.make_sim3(T[:, :3, :3], T[:, :3, 3],
+                               jnp.ones(V, jnp.float32))
+        S_bef = S_before_full[slots_j]
+
+        minfeat = cfg.opt.ess_graph_min_feats
+        grp_set = set(int(s) for s in grp)
         parent = np.asarray(kf.parent)
         loop_edge = np.asarray(kf.loop_edge)
+
+        seen = set()
+        norm_i, norm_j = [], []     # measured from S_bef
+        loopc_i, loopc_j = [], []   # measured from S_init
+
+        def add(lst_i, lst_j, a, b):
+            key = (min(a, b), max(a, b))
+            if a == b or key in seen:
+                return
+            seen.add(key)
+            lst_i.append(comp[a])
+            lst_j.append(comp[b])
+
+        # loop-connection edges first (reference sets them first and skips
+        # duplicates in the normal sections): always the cur-cand pair, plus
+        # new strong links from corrected KFs to outside the group
+        add(loopc_i, loopc_j, cur, cand)
+        for i in grp_set:
+            news = np.flatnonzero(
+                (W_after[i] >= minfeat) & (W_before[i] < minfeat) & valid
+            )
+            for j in news:
+                if int(j) not in grp_set:
+                    add(loopc_i, loopc_j, i, int(j))
+        # normal edges: spanning tree + previous loop edges + strong covis,
+        # all measured from the pre-correction poses
         for s in slots:
             p = parent[s]
             if p >= 0 and valid[p]:
-                ei.append(s); ej.append(p); w.append(1.0)
+                add(norm_i, norm_j, int(s), int(p))
             l = loop_edge[s]
-            if l >= 0 and valid[l] and s < l:
-                ei.append(s); ej.append(l); w.append(1.0)
-        # covis edges above the essential threshold
-        cov = np.argwhere(
-            np.triu(W, 1) >= cfg.opt.ess_graph_min_feats
-        )
+            if l >= 0 and valid[l]:
+                add(norm_i, norm_j, int(s), int(l))
+        cov = np.argwhere(np.triu(W_before, 1) >= minfeat)
         for a, b in cov:
             if valid[a] and valid[b]:
-                ei.append(a); ej.append(b); w.append(1.0)
-        if not ei:
+                add(norm_i, norm_j, int(a), int(b))
+        if not (norm_i or loopc_i):
             return
-        E = len(ei)
-        ei_j = jnp.asarray(np.array(ei, np.int32))
-        ej_j = jnp.asarray(np.array(ej, np.int32))
-        meas = pose_graph.make_edge_measurements(S_iw, ei_j, ej_j)
+
+        ei = jnp.asarray(np.array(loopc_i + norm_i, np.int32))
+        ej = jnp.asarray(np.array(loopc_j + norm_j, np.int32))
+        nl = len(loopc_i)
+        meas_loop = pose_graph.make_edge_measurements(
+            S_init, ei[:nl], ej[:nl]
+        )
+        meas_norm = pose_graph.make_edge_measurements(
+            S_bef, ei[nl:], ej[nl:]
+        )
+        meas = jnp.concatenate([meas_loop, meas_norm], 0)
+        E = int(ei.shape[0])
         edges = pose_graph.PoseGraphEdges(
-            i=ei_j, j=ej_j, S_ji_meas=meas,
-            weight=jnp.asarray(np.array(w, np.float32)),
+            i=ei, j=ej, S_ji_meas=meas,
+            weight=jnp.ones(E, jnp.float32),
             valid=jnp.ones(E, bool),
         )
-        fixed = np.ones(V, bool)
-        fixed[slots] = False
-        fixed[cand] = True  # loop KF anchors the gauge (reference :1085)
+        fixed = np.zeros(V, bool)
+        fixed[comp[cand]] = True   # loop KF anchors the gauge (ref :1119)
         res = pose_graph.optimize_pose_graph(
-            S_iw, edges, jnp.asarray(fixed),
-            iterations=cfg.opt.solver_iterations,
+            S_init, edges, jnp.asarray(fixed),
+            iterations=cfg.opt.ess_graph_iterations,
         )
-        # landmark correction through reference keyframes, then write back
-        ref_kf = jnp.clip(m.mp.ref_kf, 0, V - 1)
-        X_new = pose_graph.correct_landmarks(m.mp.Xw, ref_kf, S_iw, res.S_iw)
-        m.mp = m.mp._replace(
-            Xw=jnp.where(m.mp.valid[:, None], X_new, m.mp.Xw)
+
+        # landmark correction through reference keyframes (reference
+        # Optimizer.cpp:1287-1326): landmarks moved by the Sim3 propagation
+        # correct through their *owner* group KF (whose S_init is already
+        # corrected); everyone else through its reference KF.
+        ref_slot = np.asarray(m.mp.ref_kf).copy()
+        owned = lm_owner >= 0
+        ref_slot[owned] = lm_owner[owned]
+        ref_ok = (ref_slot >= 0) & valid[np.clip(ref_slot, 0, m.nk - 1)]
+        ref_c = np.where(ref_ok, comp[np.clip(ref_slot, 0, m.nk - 1)], 0)
+        X_new = pose_graph.correct_landmarks(
+            m.mp.Xw, jnp.asarray(ref_c.astype(np.int32)), S_init, res.S_iw
         )
+        move = m.mp.valid & jnp.asarray(ref_ok)
+        m.mp = m.mp._replace(Xw=jnp.where(move[:, None], X_new, m.mp.Xw))
+        # scatter optimized poses back to their slots
         T_new = pose_graph.se3_from_sim3(res.S_iw)
-        m.kf = kf._replace(
-            Tcw=jnp.where(kf.valid[:, None, None], T_new, kf.Tcw)
-        )
+        m.kf = kf._replace(Tcw=kf.Tcw.at[slots_j].set(T_new))
 
     # ------------------------------------------------------------------
     def process_keyframe(self, slot: int, interrupt_check=None) -> bool:

@@ -77,16 +77,17 @@ def so3_log(R):
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     W = 0.5 * (R - jnp.swapaxes(R, -1, -2))
     w = vee(W)  # = sin(theta) * axis
-    sin_theta = jnp.linalg.norm(w, axis=-1)
+    # double-where so derivatives stay NaN-free at the identity (edges with
+    # zero residual sit exactly there; autodiff pose-graph Jacobians would
+    # otherwise poison the whole normal system)
+    sin2 = jnp.sum(w * w, -1)
+    small = sin2 < 1e-12
+    sin_safe = jnp.sqrt(jnp.where(small, 1.0, sin2))
+    sin_theta = jnp.where(small, 0.0, sin_safe)
     theta = jnp.arctan2(sin_theta, cos_theta)
-    small = sin_theta < 1e-6
     near_pi = (cos_theta < 0.0) & (sin_theta < 1e-3)
-    # generic scale theta / sin(theta); Taylor at identity
-    scale = jnp.where(
-        small,
-        1.0 + theta * theta / 6.0,
-        theta / jnp.where(small | near_pi, 1.0, sin_theta),
-    )
+    # generic scale theta / sin(theta); Taylor at identity (theta^2 ~ sin2)
+    scale = jnp.where(small, 1.0 + sin2 / 6.0, theta / sin_safe)
     w_generic = w * scale[..., None]
     # near pi: axis from diagonal of (R + I)/2 = axis axis^T (1+cos)/2 ... use
     # the standard S = R + I trick: columns of S are parallel to the axis.

@@ -47,21 +47,22 @@ def _pad_obs(obs: ba_core.BAObservations, n_dev: int) -> ba_core.BAObservations:
     )
 
 
-def _schur_matvec(v, Hcc_d, Hll_inv, Wcl, cam_idx, lm_idx, C, L):
+def _schur_matvec(v, Hcc_d, Hll_inv, Wcl, cam_idx, lm_idx, C, L, reduce):
     """S @ v for the reduced camera system, on the local obs shard + psum.
 
-    v: (C, 6) replicated. Wcl: (O_local, 6, 3).
+    v: (C, 6) replicated. Wcl: (O_local, 6, 3). ``reduce`` is a psum over
+    the mesh's obs axis, or identity when running unsharded on one chip.
     """
     Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
     # u_l = sum_obs Wcl^T v[cam]  -> (L, 3)
     wtv = jnp.einsum("oij,oi->oj", Wcl, v[cam_idx])
     u = jnp.zeros((L, 3), v.dtype).at[lm_idx].add(wtv)
-    u = jax.lax.psum(u, AXIS)
+    u = reduce(u)
     u = jnp.einsum("lij,lj->li", Hll_inv, u)
     # w_c = sum_obs Wcl u[lm]    -> (C, 6)
     wu = jnp.einsum("oij,oj->oi", Wcl, u[lm_idx])
     w = jnp.zeros((C, 6), v.dtype).at[cam_idx].add(wu)
-    w = jax.lax.psum(w, AXIS)
+    w = reduce(w)
     return Hv - w
 
 
@@ -96,20 +97,20 @@ def _pcg(matvec, b, M_inv_blocks, iters: int):
 
 
 def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
-                   fixed_lm, C, L, pcg_iters):
+                   fixed_lm, C, L, pcg_iters, reduce):
     Tcw, Xw, lam = state
     r, pc, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs_shard, K)
     w, chi2 = ba_core.robust_obs_weights(r, obs_shard, depth_ok)
-    cost = jax.lax.psum(_robust_cost(chi2, obs_shard.valid), AXIS)
+    cost = reduce(_robust_cost(chi2, obs_shard.valid))
     Rm = Tcw[obs_shard.cam_idx][:, :3, :3]
     Jc, Jl = ba_core.reproject_jacobians(pc, Rm, K)
     Hcc, bc, Hll, bl, Wcl = ba_core.assemble_blocks(
         Jc, Jl, r, w, obs_shard.cam_idx, obs_shard.lm_idx, C, L
     )
-    Hcc = jax.lax.psum(Hcc, AXIS)
-    bc = jax.lax.psum(bc, AXIS)
-    Hll = jax.lax.psum(Hll, AXIS)
-    bl = jax.lax.psum(bl, AXIS)
+    Hcc = reduce(Hcc)
+    bc = reduce(bc)
+    Hll = reduce(Hll)
+    bl = reduce(bl)
 
     Hcc_d = ba_core.damp_blocks(Hcc, lam)
     Hll_d = ba_core.damp_blocks(Hll, lam)
@@ -130,22 +131,23 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
     # reduced RHS: br = bc - W Hll^-1 bl
     u = jnp.einsum("lij,lj->li", Hll_inv, bl)
     wu = jnp.einsum("oij,oj->oi", Wcl, u[obs_shard.lm_idx])
-    Wu = jax.lax.psum(
-        jnp.zeros((C, 6), bc.dtype).at[obs_shard.cam_idx].add(wu), AXIS
+    Wu = reduce(
+        jnp.zeros((C, 6), bc.dtype).at[obs_shard.cam_idx].add(wu)
     )
     br = bc - Wu
 
     matvec = functools.partial(
         _schur_matvec, Hcc_d=Hcc_d, Hll_inv=Hll_inv, Wcl=Wcl,
         cam_idx=obs_shard.cam_idx, lm_idx=obs_shard.lm_idx, C=C, L=L,
+        reduce=reduce,
     )
     M_inv = jnp.linalg.inv(Hcc_d + 1e-6 * eye6[None])
     dc = _pcg(matvec, br, M_inv, pcg_iters)
     dc = jnp.where(fixed_cam[:, None], 0.0, dc)
     # back-substitute landmarks: dl = Hll^-1 (bl - W^T dc)
     wtv = jnp.einsum("oij,oi->oj", Wcl, dc[obs_shard.cam_idx])
-    Wt_dc = jax.lax.psum(
-        jnp.zeros((L, 3), bl.dtype).at[obs_shard.lm_idx].add(wtv), AXIS
+    Wt_dc = reduce(
+        jnp.zeros((L, 3), bl.dtype).at[obs_shard.lm_idx].add(wtv)
     )
     dl = jnp.einsum("lij,lj->li", Hll_inv, bl - Wt_dc)
     dl = jnp.where(fixed_lm[:, None], 0.0, dl)
@@ -154,7 +156,7 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
     X_new = Xw + dl
     r2, _, _ = ba_core.reproject_residuals(T_new, X_new, obs_shard, K)
     chi2_new = jnp.sum(r2 * r2, -1) * obs_shard.inv_sigma2
-    cost_new = jax.lax.psum(_robust_cost(chi2_new, obs_shard.valid), AXIS)
+    cost_new = reduce(_robust_cost(chi2_new, obs_shard.valid))
     accept = cost_new < cost
     Tcw = jnp.where(accept, T_new, Tcw)
     Xw = jnp.where(accept, X_new, Xw)
@@ -163,43 +165,58 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
     return (Tcw, Xw, lam), cost_new
 
 
+def _gba_body(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
+              cam_idx, lm_idx, uv, inv_sigma2, valid,
+              pcg_iters, reduce):
+    """n_iters LM iterations + final inlier classification on the (local)
+    observation set. ``n_iters`` is a traced scalar — chunked callers vary
+    it without recompiling."""
+    obs_shard = ba_core.BAObservations(
+        cam_idx=cam_idx, lm_idx=lm_idx, uv=uv,
+        inv_sigma2=inv_sigma2, valid=valid,
+    )
+    C = Tcw.shape[0]
+    L = Xw.shape[0]
+
+    def it(_, st):
+        st, _cost = _gba_iteration(
+            st, obs_shard, K, fixed_cam, fixed_lm, C, L, pcg_iters, reduce
+        )
+        return st
+
+    Tcw, Xw, lam = jax.lax.fori_loop(
+        0, n_iters, it, (Tcw, Xw, jnp.float32(1e-4))
+    )
+    # final classification on the local shard
+    r, _, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs_shard, K)
+    chi2 = jnp.sum(r * r, -1) * obs_shard.inv_sigma2
+    inlier = obs_shard.valid & (chi2 <= ba_core.CHI2_MONO) & depth_ok
+    cost = reduce(_robust_cost(chi2, inlier))
+    return Tcw, Xw, inlier, cost
+
+
 def make_sharded_gba(mesh: Mesh, iterations: int = 5, pcg_iters: int = 25):
     """Build a jitted distributed GBA step for a 1-D mesh.
 
-    Returns ``gba(Tcw, Xw, obs, K, fixed_cam, fixed_lm) -> BAResult``-like
-    callable matching gba.run_gba's ``sharded_solver`` interface.
+    Returns ``gba(Tcw, Xw, obs, K, fixed_cam, fixed_lm, n_iterations)`` — a
+    ``BAResult``-returning callable matching gba.run_gba's
+    ``sharded_solver`` interface. ``iterations`` is only the default;
+    per-call ``n_iterations`` is dynamic (no recompile across chunk sizes).
     """
     n_dev = mesh.devices.size
 
-    def shard_body(Tcw, Xw, K, fixed_cam, fixed_lm,
+    def shard_body(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
                    cam_idx, lm_idx, uv, inv_sigma2, valid):
-        obs_shard = ba_core.BAObservations(
-            cam_idx=cam_idx, lm_idx=lm_idx, uv=uv,
-            inv_sigma2=inv_sigma2, valid=valid,
+        return _gba_body(
+            Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
+            cam_idx, lm_idx, uv, inv_sigma2, valid,
+            pcg_iters, functools.partial(jax.lax.psum, axis_name=AXIS),
         )
-        C = Tcw.shape[0]
-        L = Xw.shape[0]
-
-        def it(_, st):
-            st, _cost = _gba_iteration(
-                st, obs_shard, K, fixed_cam, fixed_lm, C, L, pcg_iters
-            )
-            return st
-
-        Tcw, Xw, lam = jax.lax.fori_loop(
-            0, iterations, it, (Tcw, Xw, jnp.float32(1e-4))
-        )
-        # final classification on the local shard
-        r, _, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs_shard, K)
-        chi2 = jnp.sum(r * r, -1) * obs_shard.inv_sigma2
-        inlier = obs_shard.valid & (chi2 <= ba_core.CHI2_MONO) & depth_ok
-        cost = jax.lax.psum(_robust_cost(chi2, inlier), AXIS)
-        return Tcw, Xw, inlier, cost
 
     sharded = jax.jit(
         jax.shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(),
+            in_specs=(P(), P(), P(), P(), P(), P(),
                       P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(), P(), P(AXIS), P()),
         )
@@ -207,16 +224,38 @@ def make_sharded_gba(mesh: Mesh, iterations: int = 5, pcg_iters: int = 25):
 
     def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
             n_iterations=None):
-        del n_iterations  # iteration count fixed at build time (jit cache)
+        n_it = jnp.int32(iterations if n_iterations is None else n_iterations)
         O = obs.cam_idx.shape[0]
         obs_p = _pad_obs(obs, n_dev)
         Tcw_o, Xw_o, inlier, cost = sharded(
-            Tcw, Xw, K, fixed_cam, fixed_lm,
+            Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
             obs_p.cam_idx, obs_p.lm_idx, obs_p.uv, obs_p.inv_sigma2,
             obs_p.valid,
         )
         return BAResult(
             Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier[:O], cost=cost
         )
+
+    return gba
+
+
+def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
+    """Single-chip matrix-free GBA: the same LM/PCG body as the sharded
+    solver, without collectives. This is what ``run_gba`` picks when the
+    dense-W Schur solve would not fit (server operating point: 2048 KFs x
+    65k MPs would need a ~9.7 GB dense W — reference scale, one chip)."""
+
+    body = jax.jit(functools.partial(
+        _gba_body, pcg_iters=pcg_iters, reduce=lambda x: x,
+    ))
+
+    def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
+            n_iterations=None):
+        n_it = jnp.int32(iterations if n_iterations is None else n_iterations)
+        Tcw_o, Xw_o, inlier, cost = body(
+            Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
+            obs.cam_idx, obs.lm_idx, obs.uv, obs.inv_sigma2, obs.valid,
+        )
+        return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
 
     return gba

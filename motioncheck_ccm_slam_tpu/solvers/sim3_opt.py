@@ -75,6 +75,8 @@ def optimize_sim3(
         c2 = jnp.sum(r[:, 2:] ** 2, -1) * inv_sigma2_2
         return c1, c2
 
+    s_init = lie.split_sim3(S12_init)[2]
+
     def body(i, state):
         S, lam, active = state
         zero = jnp.zeros(7, jnp.float32)
@@ -92,7 +94,24 @@ def optimize_sim3(
         b = -jnp.einsum("nif,ni,ni->f", J, W4, r)
         if fix_scale:
             H = H.at[6, 6].add(1.0)
-        Hd = H + jnp.eye(7, dtype=H.dtype) * (lam * jnp.diag(H) + 1e-9)
+        else:
+            # soft log-scale prior anchored at the Horn/RANSAC init: for a
+            # small-baseline revisit the family (lam*s, lam*t) is a near
+            # gauge freedom of two-view projections and LM random-walks the
+            # scale away. The 3D-3D alignment that produced S12_init DOES
+            # observe scale; a prior at ~1% of the largest diagonal entry
+            # yields to any real projection information but pins the null
+            # direction.
+            w_prior = 1e-2 * jnp.max(jnp.diag(H)) + 1e-6
+            sigma_rel = jnp.log(lie.split_sim3(S)[2] / s_init)
+            H = H.at[6, 6].add(w_prior)
+            b = b.at[6].add(-w_prior * sigma_rel)
+        # identity damping scaled by the largest diagonal entry (g2o's LM
+        # scheme): a revisit of the SAME viewpoint makes the scale dof nearly
+        # unobservable from projections — diag-proportional damping leaves
+        # that null direction free and the scale random-walks away from the
+        # Horn/RANSAC init; identity damping pins it.
+        Hd = H + jnp.eye(7, dtype=H.dtype) * (lam * jnp.max(jnp.diag(H)) + 1e-9)
         dx = jnp.linalg.solve(Hd, b)
         if fix_scale:
             dx = dx.at[6].set(0.0)

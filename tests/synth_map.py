@@ -43,21 +43,30 @@ class SynthWorld:
 
 
 def add_pass(m: ms.MapState, world: SynthWorld, poses, timestamps,
-             client_id=0, kf_id_start=0, lm_pose_error=None, seed=0):
+             client_id=0, kf_id_start=0, lm_pose_error=None, seed=0,
+             chain_from=-1):
     """Insert a trajectory pass: each pose becomes a KF observing NEW copies
     of the world landmarks (as real SLAM would triangulate its own), with
     positions consistent with the (possibly drifted) poses.
 
-    lm_pose_error: optional (4,4) rigid/sim3 matrix D: landmarks and poses of
+    lm_pose_error: optional (4,4) rigid/sim3 matrix D — or a list of one per
+    KF for progressive drift: landmarks (at first observation) and poses of
     this pass are expressed in the D-transformed frame (simulating drift).
+    chain_from: optional KF slot the first KF of this pass links to
+    (pred/parent), for temporal continuity across passes.
     Returns list of KF slots.
     """
     rng = np.random.default_rng(seed)
     cfg = world.config
     F = cfg.extractor.max_features
     world_to_slot = {}
+    first_obs_kf = {}
     kf_slots = []
+    if lm_pose_error is not None and not isinstance(lm_pose_error, list):
+        lm_pose_error = [lm_pose_error] * len(poses)
+    drift_list = lm_pose_error
     for k, (Tcw, ts) in enumerate(zip(poses, timestamps)):
+        lm_pose_error = drift_list[k] if drift_list is not None else None
         idx, uv = world.observe(Tcw, rng=rng)
         # landmark copies for this pass: true world position, optionally
         # transformed by the drift D (consistency with drifted poses)
@@ -93,6 +102,7 @@ def add_pass(m: ms.MapState, world: SynthWorld, poses, timestamps,
             )
             for w, s in zip(new_world, slots):
                 world_to_slot[w] = int(s)
+        new_world_slot_pending = [world_to_slot[w] for w in new_world]
         for f in range(n):
             mp_idx[f] = world_to_slot[int(idx[f])]
         # pose of this KF in the (possibly drifted) frame
@@ -112,18 +122,58 @@ def add_pass(m: ms.MapState, world: SynthWorld, poses, timestamps,
             mp_idx=m.kf.mp_idx.at[slot].set(jnp.asarray(mp_idx)),
             valid=m.kf.valid.at[slot].set(True),
             parent=m.kf.parent.at[slot].set(
-                kf_slots[-1] if kf_slots else -1),
-            pred=m.kf.pred.at[slot].set(kf_slots[-1] if kf_slots else -1),
+                kf_slots[-1] if kf_slots else chain_from),
+            pred=m.kf.pred.at[slot].set(
+                kf_slots[-1] if kf_slots else chain_from),
         )
-        # set ref_kf of landmarks first seen here
         kf_slots.append(slot)
+        # landmarks first seen here reference this KF
+        for s in new_world_slot_pending:
+            first_obs_kf.setdefault(s, slot)
     # ref_kf: first observing KF slot
     ref = np.asarray(m.mp.ref_kf).copy()
     for w, s in world_to_slot.items():
         if ref[s] < 0:
-            ref[s] = kf_slots[0]
+            ref[s] = first_obs_kf.get(s, kf_slots[0])
     m.mp = m.mp._replace(ref_kf=jnp.asarray(ref))
     return kf_slots
+
+
+def ring_world(config, n_points=1500, ring_radius=11.0, seed=0):
+    """Landmarks on a cylindrical band around the origin — cameras on an
+    inner circle facing outward see only a limited arc, so covisibility is
+    local (unlike the box world where every KF sees everything)."""
+    world = SynthWorld(config, n_points=n_points, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    th = rng.uniform(0, 2 * np.pi, n_points)
+    r = ring_radius + rng.uniform(-1.0, 1.0, n_points)
+    y = rng.uniform(-2.5, 2.5, n_points)
+    world.pts = np.stack(
+        [r * np.cos(th), y, r * np.sin(th)], -1
+    ).astype(np.float32)
+    return world
+
+
+def ring_poses(angles_deg, cam_radius=5.0, t0=0.0, dt=0.25):
+    """Cameras on a circle of ``cam_radius`` facing radially outward, one per
+    angle (degrees)."""
+    poses, ts = [], []
+    for k, a in enumerate(angles_deg):
+        th = np.deg2rad(a)
+        C = np.array([cam_radius * np.cos(th), 0.0,
+                      cam_radius * np.sin(th)], np.float32)
+        fwd = np.array([np.cos(th), 0.0, np.sin(th)], np.float32)
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        x = np.cross(up, fwd)
+        x /= np.linalg.norm(x)
+        y = np.cross(fwd, x)
+        R_wc = np.stack([x, y, fwd], -1)   # columns = camera axes in world
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = R_wc.T
+        Tcw[:3, 3] = -R_wc.T @ C
+        poses.append(Tcw)
+        ts.append(t0 + k * dt)
+    return poses, ts
 
 
 def arc_poses(n, step=0.25, seed=0):
