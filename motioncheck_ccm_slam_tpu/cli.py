@@ -22,13 +22,16 @@ import time
 
 def _small_preset(config):
     """Reduced shapes for CPU smoke runs (compile time, not capability)."""
-    from .config import CapacityParams, ExtractorParams
+    from .config import CapacityParams, ExtractorParams, PlaceRecParams
 
     return config.replace(
         extractor=ExtractorParams(max_features=512, n_levels=4,
                                   n_features=512),
         capacity=CapacityParams(client_max_kfs=24, client_max_mps=2048,
                                 server_max_kfs=64, server_max_mps=8192),
+        # short runs produce few KFs: let map matching engage early so the
+        # smoke run exercises the merge path (consistency gate still applies)
+        placerec=PlaceRecParams(start_map_matching_after_kf=2),
     )
 
 

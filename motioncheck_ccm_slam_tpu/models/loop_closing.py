@@ -44,6 +44,10 @@ class LoopCloser:
         default_factory=lambda: jax.random.PRNGKey(42)
     )
     run_gba_after_loop: bool = True
+    # injectable GBA solver (tests corrupt it to exercise the MC gate);
+    # None = run_gba's size-based selection
+    gba_solver: Optional[object] = None
+    n_regba: int = 0
 
     # ------------------------------------------------------------------
     def _covis(self):
@@ -243,9 +247,19 @@ class LoopCloser:
             loop_edge=m.kf.loop_edge.at[cur].set(cand).at[cand].set(cur)
         )
 
-        # Motion-Check-gated GBA (reference: spawn RunGBA :746 then MC)
+        # loop-closure GBA with the Motion Check in GATING mode (reference
+        # LoopFinder::RunGBA :1200-1202 runs CorrectKF_V3 with isGBA=false —
+        # flags only; a bad verdict latches CorrectKF_switch off and sets
+        # request_GBA), then the MC-triggered follow-up GBA (reference
+        # RequestBA_fromCorrectKF, src/LoopFinder.cpp:754-762)
         if self.run_gba_after_loop:
-            gba_mod.run_gba(m, cfg, interrupt_check=interrupt_check)
+            gba_mod.run_gba(m, cfg, interrupt_check=interrupt_check,
+                            sharded_solver=self.gba_solver, mc_mode="gating")
+            if m.request_gba:
+                m.request_gba = False
+                gba_mod.run_gba(m, cfg, interrupt_check=interrupt_check,
+                                mc_mode="full")
+                self.n_regba += 1
         self.last_loop_kf_id = int(np.asarray(m.kf.kf_id[cur]))
         self.n_loops_closed += 1
         return True

@@ -3,13 +3,16 @@
 Replaces the reference ``MapMatcher`` (src/MapMatcher.cpp): one global
 matcher watches every per-agent server map through a shared BoW database
 whose retrieval excludes the query's own map
-(``DetectMapMatchCandidates``); a confirmed hit computes a cross-map Sim3
-and hands over to the merger.
+(``DetectMapMatchCandidates``); candidates must pass the same
+covisibility-consistency confirmation as loop closing (reference
+MapMatcher::DetectLoop src/MapMatcher.cpp:104 reuses the consecutive-
+consistent-group machinery) before a cross-map Sim3 is computed and handed
+to the merger — a single aliased BoW hit must NOT fuse two maps.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +35,9 @@ class MapMatchHit:
     slot_cur: int
     slot_match: int
     S_match_from_cur: jax.Array     # Sim3: cur-map world -> match-map world
+    # matched landmark duplicates (cur-map slot, match-map slot), RANSAC
+    # inliers only — the merger collapses these (reference matchedMPs)
+    mp_pairs: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -50,6 +56,10 @@ class MapMatcher:
         default_factory=lambda: jax.random.PRNGKey(7)
     )
     min_hit_kf_id: int = 0
+    # covisibility-consistency state per query map id:
+    # list of (cand_map_id, group: set[slot-in-cand-map], count)
+    consistent_groups: Dict[int, List[Tuple[int, Set[int], int]]] = \
+        dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         if self.vocab is None:
@@ -70,9 +80,17 @@ class MapMatcher:
         self.db.add(row, m.kf.desc[slot], m.kf.feat_valid[slot], map_id=map_id)
 
     # ------------------------------------------------------------------
+    def _covis_group(self, map_id: int, slot: int, thres: float = 15.0
+                     ) -> Set[int]:
+        m = self.maps[map_id]
+        W = np.asarray(ms.covisibility(m.kf, m.nm))
+        return set(np.flatnonzero(W[slot] >= thres).tolist()) | {slot}
+
     def check(self, map_id: int, slot: int) -> Optional[MapMatchHit]:
-        """Look for a cross-map hit for a newly arrived KF (reference
-        DetectLoop + ComputeSim3 on the cross-map database)."""
+        """Look for a cross-map hit for a newly arrived KF. A candidate is
+        accepted only after ``covisibility_consistency_th`` consecutive
+        detections hit overlapping covis groups of the same foreign map
+        (reference MapMatcher::DetectLoop)."""
         m = self.maps[map_id]
         kf_id = int(np.asarray(m.kf.kf_id[slot]))
         if kf_id < self.config.placerec.start_map_matching_after_kf:
@@ -81,13 +99,47 @@ class MapMatcher:
         tf = vocab_mod.make_transform(self.vocab)
         _, qbow = tf(m.kf.desc[slot], m.kf.feat_valid[slot])
         self.add_keyframe(map_id, slot)
-        cands, scores = self.db.detect_map_match_candidates(qbow, map_id)
+        # similarity bar: the lowest BoW score among the query's own covis
+        # neighbors — cross-map candidates must look at least as similar as
+        # the query's own neighborhood (reference MapMatcher::DetectLoop
+        # src/MapMatcher.cpp:133-150; no neighbors => bar stays at 1.0)
+        s_all = np.asarray(self.db.scores(qbow))
+        neigh_rows = [
+            self.row_of[(map_id, s)]
+            for s in self._covis_group(map_id, slot) - {slot}
+            if (map_id, s) in self.row_of
+        ]
+        min_score = min((float(s_all[r]) for r in neigh_rows), default=1.0)
+        cands, scores = self.db.detect_map_match_candidates(
+            qbow, map_id, min_score=max(min_score, 0.05)
+        )
+        prev_groups = self.consistent_groups.get(map_id, [])
+        if len(cands) == 0:
+            self.consistent_groups[map_id] = []
+            return None
+        th = self.config.placerec.covisibility_consistency_th
+        new_groups: List[Tuple[int, Set[int], int]] = []
+        accepted: Optional[Tuple[int, int]] = None
         for row in cands:
             mid2, slot2 = self.key_of_row[int(row)]
-            hit = self._compute_cross_sim3(map_id, slot, mid2, slot2)
-            if hit is not None:
-                return hit
-        return None
+            if self.maps[mid2] is m:
+                continue   # maps fused since the row was added
+            grp = self._covis_group(mid2, slot2)
+            best = 0
+            for pm, pg, pc in prev_groups:
+                if pm == mid2 and (grp & pg):
+                    best = max(best, pc + 1)
+            new_groups.append((mid2, grp, best))
+            if best + 1 >= th and accepted is None:
+                accepted = (int(row), mid2, slot2)
+        self.consistent_groups[map_id] = new_groups
+        if accepted is None:
+            return None
+        _, mid2, slot2 = accepted
+        hit = self._compute_cross_sim3(map_id, slot, mid2, slot2)
+        if hit is not None:
+            self.consistent_groups[map_id] = []
+        return hit
 
     # ------------------------------------------------------------------
     def _compute_cross_sim3(self, mid1, slot1, mid2, slot2) -> Optional[MapMatchHit]:
@@ -121,8 +173,10 @@ class MapMatcher:
         if not bool(res.success):
             return None
         S = lie.make_sim3(res.R, res.t, res.s)
+        inl = np.asarray(res.inliers)
+        pairs = np.stack([mp1[inl], mp2[inl]], -1)
         return MapMatchHit(
             map_id_cur=mid1, map_id_match=mid2,
             slot_cur=slot1, slot_match=slot2,
-            S_match_from_cur=S,
+            S_match_from_cur=S, mp_pairs=pairs,
         )

@@ -160,3 +160,83 @@ def merge_maps(
         )
     m_into.sync_host_index()
     return m_into, kf_slot_map, mp_slot_map
+
+
+def optimize_seam_essential_graph(m: ms.MapState, cur_slot: int,
+                                  match_slot: int, config: Config):
+    """Essential-graph optimization over the fused map (reference
+    ``Optimizer::OptimizeEssentialGraphMapFusion`` src/Optimizer.cpp:1339,
+    called from MapMerger::MergeMaps :500 before the fused-map GBA).
+
+    Unlike the loop-closure variant, every vertex estimate and every edge
+    measurement comes from the CURRENT (already Sim3-aligned) poses — the
+    solve rigidifies the seam by reconciling the new cross-map covis links
+    (zero-residual by construction, nonzero as soon as fusion rewired
+    observations) with each map's internal graph. Gauge = the matched KF.
+    """
+    kf = m.kf
+    valid = np.asarray(kf.valid)
+    slots = np.flatnonzero(valid)
+    V = len(slots)
+    if V < 2:
+        return
+    comp = np.full(m.nk, -1, np.int64)
+    comp[slots] = np.arange(V)
+    slots_j = jnp.asarray(slots.astype(np.int32))
+    T = kf.Tcw[slots_j]
+    S_init = lie.make_sim3(T[:, :3, :3], T[:, :3, 3],
+                           jnp.ones(V, jnp.float32))
+    W = np.asarray(ms.covisibility(kf, m.nm))
+    minfeat = config.opt.ess_graph_min_feats
+    parent = np.asarray(kf.parent)
+    loop_edge = np.asarray(kf.loop_edge)
+    seen = set()
+    ei, ej = [], []
+
+    def add(a, b):
+        key = (min(a, b), max(a, b))
+        if a == b or key in seen:
+            return
+        seen.add(key)
+        ei.append(comp[a])
+        ej.append(comp[b])
+
+    add(cur_slot, match_slot)   # the seam edge is always present
+    for s in slots:
+        p = parent[s]
+        if p >= 0 and valid[p]:
+            add(int(s), int(p))
+        l = loop_edge[s]
+        if l >= 0 and valid[l]:
+            add(int(s), int(l))
+    cov = np.argwhere(np.triu(W, 1) >= minfeat)
+    for a, b in cov:
+        if valid[a] and valid[b]:
+            add(int(a), int(b))
+    if not ei:
+        return
+    ei_j = jnp.asarray(np.array(ei, np.int32))
+    ej_j = jnp.asarray(np.array(ej, np.int32))
+    meas = pose_graph.make_edge_measurements(S_init, ei_j, ej_j)
+    edges = pose_graph.PoseGraphEdges(
+        i=ei_j, j=ej_j, S_ji_meas=meas,
+        weight=jnp.ones(len(ei), jnp.float32),
+        valid=jnp.ones(len(ei), bool),
+    )
+    fixed = np.zeros(V, bool)
+    fixed[comp[match_slot]] = True
+    res = pose_graph.optimize_pose_graph(
+        S_init, edges, jnp.asarray(fixed),
+        iterations=config.opt.solver_iterations,
+    )
+    # landmarks follow their reference keyframes
+    ref_slot = np.asarray(m.mp.ref_kf)
+    ref_ok = (ref_slot >= 0) & valid[np.clip(ref_slot, 0, m.nk - 1)]
+    ref_c = np.where(ref_ok, comp[np.clip(ref_slot, 0, m.nk - 1)], 0)
+    X_new = pose_graph.correct_landmarks(
+        m.mp.Xw, jnp.asarray(ref_c.astype(np.int32)), S_init, res.S_iw
+    )
+    move = m.mp.valid & jnp.asarray(ref_ok)
+    m.mp = m.mp._replace(Xw=jnp.where(move[:, None], X_new, m.mp.Xw))
+    T_new = pose_graph.se3_from_sim3(res.S_iw)
+    m.kf = kf._replace(Tcw=kf.Tcw.at[slots_j].set(T_new))

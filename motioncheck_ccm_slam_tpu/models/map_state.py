@@ -343,6 +343,12 @@ class MapState:
     # id -> slot lookup kept on host (cheap, avoids device scans)
     kf_slot_by_id: dict = dataclasses.field(default_factory=dict)
     mp_slot_by_id: dict = dataclasses.field(default_factory=dict)
+    # Motion Check latches (reference Map.h:304 request_GBA and the
+    # CorrectKF_switch latch, src/Map.cpp:3784-3799): a gating-mode MC run
+    # after a loop-closure GBA may disable future corrective action and/or
+    # request a follow-up GBA.
+    correct_kf_switch: bool = True
+    request_gba: bool = False
 
     @classmethod
     def create(cls, config: Config, server: bool = False) -> "MapState":

@@ -75,6 +75,13 @@ class ServerClientHandler:
         self.loop_closer.database = db
         self.loop_closer.consistent_groups = []
 
+    def _interrupt_check(self):
+        """INTERRUPTBA: fresh agent data queued on the channel aborts a
+        running GBA (reference Communicator.cpp:453-462)."""
+        if not self.config.comm.interrupt_gba_on_input:
+            return None
+        return lambda: not self.channel.to_server.empty()
+
     def spin(self) -> List[int]:
         """One server cycle for this agent. Returns new KF slots."""
         self.comm.tick()
@@ -91,7 +98,9 @@ class ServerClientHandler:
             )
         for slot in new_slots:
             if bool(np.asarray(self.map.kf.valid[slot])):
-                self.loop_closer.process_keyframe(slot)
+                self.loop_closer.process_keyframe(
+                    slot, interrupt_check=self._interrupt_check()
+                )
                 self.n_kfs_processed += 1
         return new_slots
 
@@ -110,6 +119,7 @@ class ServerSystem:
     vocab: vocab_mod.Vocabulary = None
     final_gba_done: bool = False
     n_merges: int = 0
+    n_gba_interrupts: int = 0
 
     def __post_init__(self):
         if self.vocab is None:
@@ -159,22 +169,40 @@ class ServerSystem:
         m_cur, m_match = h_cur.map, h_match.map
         m_cur = map_merging.sim3_transform_map(m_cur, hit.S_match_from_cur)
         m_match, kf_map, mp_map = map_merging.merge_maps(
-            m_cur, m_match, hit.S_match_from_cur, config=self.config
+            m_cur, m_match, hit.S_match_from_cur,
+            mp_fuse_pairs=hit.mp_pairs, config=self.config,
         )
         # every handler pointing at the old map re-points to the fused one
         for cid, h in self.handlers.items():
             if h.map is m_cur or h is h_cur:
                 h.change_map(m_match, kf_map)
             self.matcher.maps[cid] = self.handlers[cid].map
-        # rigidify the seam + polish (reference: ess-graph + RunGBA on the
-        # fused map); the loop closer's essential-graph machinery handles it
-        gba_mod.run_gba(m_match, self.config)
+        # fuse duplicates around the seam, rigidify with the fusion
+        # essential graph, then the Motion-Check-gated GBA (reference
+        # MapMerger::MergeMaps :476-618 SearchAndFuse + ess-graph + RunGBA)
+        cur_slot = kf_map[hit.slot_cur]
+        seam = [cur_slot, hit.slot_match]
+        mapping_mod.fuse_neighbors(m_match, seam, self.config)
+        map_merging.optimize_seam_essential_graph(
+            m_match, cur_slot, hit.slot_match, self.config
+        )
+        gba_mod.run_gba(m_match, self.config,
+                        interrupt_check=h_match._interrupt_check())
         self.n_merges += 1
 
     # ------------------------------------------------------------------
+    def _fresh_data_for(self, map_obj) -> bool:
+        return any(
+            not h.channel.to_server.empty()
+            for h in self.handlers.values() if h.map is map_obj
+        )
+
     def maybe_final_gba(self) -> bool:
         """FINALBA: when every agent is idle, run the final Motion-Check-
-        gated GBA on every distinct map (reference Map::RequestBA)."""
+        gated GBA on every distinct map (reference Map::RequestBA). Fresh
+        agent data arriving mid-GBA aborts it and re-arms FINALBA — the
+        caller's next cycles ingest the data and retry once agents go quiet
+        again (reference Communicator.cpp:465-496, Map::isGBAinterrupted)."""
         if self.final_gba_done:
             return False
         if not all(h.comm.agent_finished for h in self.handlers.values()):
@@ -184,7 +212,19 @@ class ServerSystem:
             if id(h.map) in seen:
                 continue
             seen.add(id(h.map))
-            gba_mod.run_gba(h.map, self.config)
+            ic = None
+            if self.config.comm.interrupt_gba_on_input:
+                ic = lambda m=h.map: self._fresh_data_for(m)  # noqa: E731
+            res = gba_mod.run_gba(h.map, self.config, interrupt_check=ic)
+            if res.interrupted:
+                self.n_gba_interrupts += 1
+                # re-arm: the agent(s) of this map came back; require a
+                # fresh quiet period before retrying
+                for h2 in self.handlers.values():
+                    if h2.map is h.map:
+                        h2.comm.idle_cycles = 0
+                        h2.comm.got_data = True
+                return False
         self.final_gba_done = True
         return True
 

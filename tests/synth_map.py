@@ -154,13 +154,16 @@ def ring_world(config, n_points=1500, ring_radius=11.0, seed=0):
     return world
 
 
-def ring_poses(angles_deg, cam_radius=5.0, t0=0.0, dt=0.25):
+def ring_poses(angles_deg, cam_radius=5.0, t0=0.0, dt=0.25, y_amp=0.0):
     """Cameras on a circle of ``cam_radius`` facing radially outward, one per
-    angle (degrees)."""
+    angle (degrees). ``y_amp`` adds a vertical bob (real trajectories are
+    never perfectly planar — Motion Check's per-plane limits scale with the
+    tracking xy angle, which degenerates to 0 on planar motion)."""
     poses, ts = [], []
     for k, a in enumerate(angles_deg):
         th = np.deg2rad(a)
-        C = np.array([cam_radius * np.cos(th), 0.0,
+        y = y_amp * np.sin(3.0 * th)
+        C = np.array([cam_radius * np.cos(th), y,
                       cam_radius * np.sin(th)], np.float32)
         fwd = np.array([np.cos(th), 0.0, np.sin(th)], np.float32)
         up = np.array([0.0, 1.0, 0.0], np.float32)
