@@ -46,8 +46,26 @@ class KeyFrameDatabase:
             self.map_id = jnp.full((self.capacity,), -1, jnp.int32)
         self._transform = vocab_mod.make_transform(self.vocab)
 
+    def _grow(self, need: int):
+        new_cap = max(self.capacity * 2, need)
+        pad = new_cap - self.capacity
+        self.bow = jnp.concatenate(
+            [self.bow, jnp.zeros((pad, self.bow.shape[1]), self.bow.dtype)], 0)
+        if self.words is not None:
+            self.words = jnp.concatenate(
+                [self.words,
+                 jnp.zeros((pad, self.words.shape[1]), jnp.int32)], 0)
+        self.present = jnp.concatenate(
+            [self.present, jnp.zeros((pad,), bool)], 0)
+        self.map_id = jnp.concatenate(
+            [self.map_id, jnp.full((pad,), -1, jnp.int32)], 0)
+        self.capacity = new_cap
+
     def add(self, slot: int, desc, feat_valid, map_id: int = 0):
-        """Compute and store the BoW of a keyframe (reference add())."""
+        """Compute and store the BoW of a keyframe (reference add()). Grows
+        with the map blocks (slots are append-only)."""
+        if slot >= self.capacity:
+            self._grow(slot + 1)
         words, v = self._transform(desc, feat_valid)
         if self.words is None:
             self.words = jnp.zeros((self.capacity, desc.shape[0]), jnp.int32)

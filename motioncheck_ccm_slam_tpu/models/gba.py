@@ -210,10 +210,30 @@ class GBAJob:
                 self.Xw = self.Xw.at[jnp.asarray(sel)].set(X_new)
                 self.mp_in[sel] = True  # now expressed in the optimized frame
 
+    def _pad_to_current(self):
+        """The map blocks may have GROWN while the job ran (capacity growth
+        is append-only); pad the job's copies/masks so writeback indexes
+        line up — grown slots are out-of-problem (mask False)."""
+        m = self.m
+        nk, nm = m.nk, m.mp.Xw.shape[0]
+        if len(self.kf_in) < nk:
+            pad = nk - len(self.kf_in)
+            self.kf_in = np.concatenate([self.kf_in, np.zeros(pad, bool)])
+            self.Tcw = jnp.concatenate([self.Tcw, m.kf.Tcw[-pad:]], 0)
+            self.Tcw_snapshot = jnp.concatenate(
+                [self.Tcw_snapshot, m.kf.Tcw[-pad:]], 0)
+        if len(self.mp_in) < nm:
+            pad = nm - len(self.mp_in)
+            self.mp_in = np.concatenate([self.mp_in, np.zeros(pad, bool)])
+            self.Xw = jnp.concatenate([self.Xw, m.mp.Xw[-pad:]], 0)
+            self.Xw_snapshot = jnp.concatenate(
+                [self.Xw_snapshot, m.mp.Xw[-pad:]], 0)
+
     def finalize(self) -> GBAResult:
         """Write back optimized state (+ mid-job propagation), then the
         Motion Check verdict (reference RunGBA :1683-1687)."""
         m = self.m
+        self._pad_to_current()
         result = GBAResult(cost=self._cost)
         kf_in_start = jnp.asarray(self.kf_in.copy())
         mp_in_start = jnp.asarray(self.mp_in.copy())

@@ -375,9 +375,34 @@ class MapState:
     def n_mps(self) -> int:
         return len(self.mp_slot_by_id)
 
+    # -- capacity growth ------------------------------------------------
+    # Blocks grow by doubling when full (append-only: existing slot indices
+    # stay valid). Each growth changes array shapes and therefore re-jits
+    # the kernels once — amortized O(log growth) recompiles over a run.
+    # The reference's server map is unbounded (std::map); the client's is
+    # bounded by MapTrimming, so client blocks rarely grow.
+    n_kf_growths: int = 0
+    n_mp_growths: int = 0
+
+    def _grow_kf_block(self):
+        f = self.kf.xy.shape[1]
+        extra = empty_kf_block(self.nk, f)
+        self.kf = KFBlock(*[
+            jnp.concatenate([a, b], 0) for a, b in zip(self.kf, extra)
+        ])
+        self.n_kf_growths += 1
+
+    def _grow_mp_block(self):
+        extra = empty_mp_block(self.nm)
+        self.mp = MPBlock(*[
+            jnp.concatenate([a, b], 0) for a, b in zip(self.mp, extra)
+        ])
+        self.n_mp_growths += 1
+
     # -- slot management ----------------------------------------------------
     def alloc_kf_slot(self, kf_id: int, client_id: int) -> int:
-        """Next free KF slot (round-robin over invalid slots)."""
+        """Next free KF slot (round-robin over invalid slots); grows the
+        block when full."""
         valid = np.asarray(self.kf.valid)
         for probe in range(self.nk):
             s = (self.next_kf_slot + probe) % self.nk
@@ -385,13 +410,19 @@ class MapState:
                 self.next_kf_slot = (s + 1) % self.nk
                 self.kf_slot_by_id[(kf_id, client_id)] = s
                 return s
-        raise RuntimeError("KF block full — grow capacity or trim")
+        s = self.nk
+        self._grow_kf_block()
+        self.next_kf_slot = s + 1
+        self.kf_slot_by_id[(kf_id, client_id)] = s
+        return s
 
     def alloc_mp_slots(self, n: int, ids) -> np.ndarray:
         valid = np.asarray(self.mp.valid)
         free = np.flatnonzero(~valid)
-        if len(free) < n:
-            raise RuntimeError("MP block full — grow capacity or cull")
+        while len(free) < n:
+            old_nm = self.nm
+            self._grow_mp_block()
+            free = np.concatenate([free, np.arange(old_nm, self.nm)])
         slots = free[:n]
         for s, pid in zip(slots, ids):
             self.mp_slot_by_id[pid] = int(s)

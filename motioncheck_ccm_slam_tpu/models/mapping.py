@@ -30,6 +30,16 @@ N_TRIANG_NEIGHBORS = 5     # covis neighbors used for triangulation (the
                            # neighbors cover the same covis mass)
 
 
+def covis_neighbors_of(m: ms.MapState, slot: int,
+                       k: int = N_TRIANG_NEIGHBORS, thres: float = 15.0):
+    """Strongest covisibility neighbors of one KF (weight >= thres)."""
+    W = np.asarray(ms.covisibility(m.kf, m.nm))
+    w = W[slot]
+    valid = np.asarray(m.kf.valid)
+    order = np.argsort(-w)
+    return [int(s) for s in order[:k] if w[s] >= thres and valid[s]]
+
+
 # ---------------------------------------------------------------------------
 # KF insertion
 # ---------------------------------------------------------------------------
@@ -213,14 +223,15 @@ def _write_assocs(kf: ms.KFBlock, slot1, feat1, slot2, feat2, mp_slots):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))
-def _fuse_into_kf(kf_xy, kf_desc, kf_octave, kf_feat_valid, kf_mp_idx, Tcw,
-                  mp_Xw, mp_desc, mp_valid, K, width, height,
-                  scale_factors, inv_sigma2_arr, n_levels):
-    """Match map landmarks into one KF's *unassociated* features by
-    projection (reference ORBmatcher::Fuse + SearchInNeighbors). Returns an
-    updated per-feature mp_idx row.
+def _fuse_match(kf_xy, kf_desc, kf_octave, kf_feat_valid, kf_mp_idx, Tcw,
+                mp_Xw, mp_desc, mp_valid, K, width, height,
+                inv_sigma2_arr, n_levels):
+    """Projection-match map landmarks into one KF's features (reference
+    ORBmatcher::Fuse). Searches ALL valid features — an occupied best match
+    becomes a replace candidate, a free one a claim. Returns per-landmark
+    (best feature index, ok).
 
-    The claim gate is deliberately strict (tight Hamming + per-octave chi2):
+    The gate is deliberately strict (tight Hamming + per-octave chi2):
     a loose fuse claims the sibling corners every blob produces across
     pyramid levels, saturating the feature pool and starving triangulation.
     """
@@ -229,44 +240,139 @@ def _fuse_into_kf(kf_xy, kf_desc, kf_octave, kf_feat_valid, kf_mp_idx, Tcw,
     uv = geometry.project(pc[None], K)[0]
     vis = mp_valid & (pc[:, 2] > 0.05) & geometry.in_image(uv, width, height)
     octv = jnp.zeros(mp_Xw.shape[0], jnp.int32)
-    free = kf_feat_valid & (kf_mp_idx < 0)
     m = matching.search_by_projection(
         mp_desc, uv, octv, vis,
-        kf_desc, kf_xy, kf_octave, free,
+        kf_desc, kf_xy, kf_octave, kf_feat_valid,
         radius=3.0, max_dist=35, nn_ratio=1.0, use_octave=False,
     )
     # chi2 gate at the claimed feature's octave (reference Fuse: e2 *
-    # invSigma2 <= 5.99)
+    # invSigma2 <= 5.99, src/ORBmatcher.cpp:950)
     err = kf_xy[m.idx] - uv
     chi2 = jnp.sum(err * err, -1) * inv_sigma2_arr[
         jnp.clip(kf_octave[m.idx], 0, n_levels - 1)
     ]
+    # a landmark must not re-claim a feature it already owns elsewhere in
+    # this KF (the row dedupe would otherwise drop the older association)
+    already_here = kf_mp_idx[m.idx] == jnp.arange(mp_Xw.shape[0])
     ok = m.ok & (chi2 <= 5.991)
-    NM = mp_Xw.shape[0]
-    Fn = kf_xy.shape[0]
-    new_row = kf_mp_idx
-    tgt = jnp.where(ok, m.idx, Fn)
-    src = jnp.where(ok, jnp.arange(NM, dtype=jnp.int32), -1)
-    new_row = new_row.at[tgt].set(jnp.where(ok, src, -1), mode="drop")
-    # never overwrite existing associations
-    return jnp.where(kf_mp_idx >= 0, kf_mp_idx, new_row)
+    return m.idx, ok & ~already_here, ok & already_here
+
+
+@jax.jit
+def _apply_replacement(mp_idx, repl):
+    """Rewire associations through a landmark-replacement map ``repl``
+    (NM,)->winner slot (identity where no replacement), then drop per-row
+    duplicates, preferring the original (non-rewired) association —
+    reference MapPoint::Replace: observers of the loser re-point to the
+    winner unless the winner is already observed in that keyframe."""
+    F = mp_idx.shape[1]
+    old = mp_idx
+    new = jnp.where(old >= 0, repl[jnp.maximum(old, 0)], -1)
+    rewired = (new != old) & (old >= 0)
+    # sort key groups by landmark; original associations sort before
+    # rewired ones, earlier features before later
+    fidx = jnp.arange(F, dtype=jnp.int32)[None, :]
+    key = new * (2 * F) + rewired.astype(jnp.int32) * F + fidx
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(new >= 0, key, big)
+    skey = jnp.sort(key, axis=1)
+    mp_sorted = skey // (2 * F)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(mp_sorted[:, :1], dtype=bool),
+         (mp_sorted[:, 1:] == mp_sorted[:, :-1]) & (skey[:, 1:] != big)], 1
+    )
+    feat_sorted = (skey % F).astype(jnp.int32)
+    rows = jnp.arange(new.shape[0])[:, None]
+    drop = jnp.zeros_like(new, dtype=bool)
+    drop = drop.at[rows, jnp.where(dup, feat_sorted, F)].set(True, mode="drop")
+    return jnp.where(drop, -1, new)
+
+
+@jax.jit
+def _merge_mp_stats(mp: ms.MPBlock, losers, winners):
+    return mp._replace(
+        n_visible=mp.n_visible.at[winners].add(mp.n_visible[losers]),
+        n_found=mp.n_found.at[winners].add(mp.n_found[losers]),
+        valid=mp.valid.at[losers].set(False),
+    )
+
+
+def replace_map_points(m: ms.MapState, pairs) -> int:
+    """Collapse duplicate landmarks: for each (a, b) pair the one with more
+    observations survives and absorbs the other's observers and stats
+    (reference ORBmatcher::Fuse :977 + MapPoint::Replace)."""
+    nm = m.nm
+    n_obs = np.asarray(ms.mp_observation_counts(m.kf, nm))
+    repl = np.arange(nm, dtype=np.int32)
+
+    def find(x):
+        while repl[x] != x:
+            x = repl[x]
+        return int(x)
+
+    n = 0
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra == rb:
+            continue
+        w, l = (ra, rb) if n_obs[ra] >= n_obs[rb] else (rb, ra)
+        repl[l] = w
+        n += 1
+    if n == 0:
+        return 0
+    while True:
+        r2 = repl[repl]
+        if np.array_equal(r2, repl):
+            break
+        repl = r2
+    m.kf = m.kf._replace(
+        mp_idx=_apply_replacement(m.kf.mp_idx, jnp.asarray(repl))
+    )
+    losers = np.flatnonzero(repl != np.arange(nm))
+    m.mp = _merge_mp_stats(
+        m.mp, jnp.asarray(losers.astype(np.int32)),
+        jnp.asarray(repl[losers].astype(np.int32)),
+    )
+    m.sync_host_index()
+    return n
 
 
 def fuse_neighbors(m: ms.MapState, kf_slots, config: Config):
-    """Project all valid landmarks into each listed KF and claim free
-    features."""
+    """Project all valid landmarks into each listed KF: claim free features,
+    and collapse duplicate landmarks when the best feature is already
+    associated (reference SearchInNeighbors src/Mapping.cpp:489 +
+    ORBmatcher::Fuse with Replace). Returns (n_claimed, n_replaced)."""
     K = jnp.asarray(config.camera.K())
-    sf = jnp.asarray(orb.scale_factors(config.extractor))
     inv_s2 = jnp.asarray(orb.inv_level_sigma2(config.extractor))
+    n_claim = 0
+    pairs = []
     for s in kf_slots:
-        row = _fuse_into_kf(
+        feat_idx, ok, _ = _fuse_match(
             m.kf.xy[s], m.kf.desc[s], m.kf.octave[s], m.kf.feat_valid[s],
             m.kf.mp_idx[s], m.kf.Tcw[s],
             m.mp.Xw, m.mp.desc, m.mp.valid,
-            K, config.camera.width, config.camera.height, sf, inv_s2,
+            K, config.camera.width, config.camera.height, inv_s2,
             config.extractor.n_levels,
         )
-        m.kf = m.kf._replace(mp_idx=m.kf.mp_idx.at[s].set(row))
+        ok_np = np.asarray(ok)
+        cand = np.flatnonzero(ok_np)
+        if not len(cand):
+            continue
+        feats = np.asarray(feat_idx)[cand]
+        row = np.asarray(m.kf.mp_idx[s]).copy()
+        incumbent = row[feats]
+        free = incumbent < 0
+        if free.any():
+            row[feats[free]] = cand[free]
+            m.kf = m.kf._replace(
+                mp_idx=m.kf.mp_idx.at[s].set(jnp.asarray(row))
+            )
+            n_claim += int(free.sum())
+        for c, inc in zip(cand[~free], incumbent[~free]):
+            if int(c) != int(inc):
+                pairs.append((int(c), int(inc)))
+    n_repl = replace_map_points(m, pairs) if pairs else 0
+    return n_claim, n_repl
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +409,40 @@ def _cull_mps_kernel(kf: ms.KFBlock, mp: ms.MPBlock, newest_kf_id):
 
 def cull_map_points(m: ms.MapState, newest_kf_id: int) -> int:
     m.kf, m.mp, n = _cull_mps_kernel(m.kf, m.mp, newest_kf_id)
+    n = int(n)
+    if n:
+        m.sync_host_index()
+    return n
+
+
+@jax.jit
+def _cull_server_kernel(kf: ms.KFBlock, mp: ms.MPBlock, mp_tick, tick,
+                        client_id):
+    """Server recent-landmark probation (reference MapPointCullingServer
+    src/Mapping.cpp:756-787): an own-client landmark leaving its 3-KF
+    probation window with <=3 observations is erased. The found-ratio rule
+    (:772) is client-only here — the wire schema does not carry tracking
+    visibility stats (reference MP.msg doesn't either; its server counts stay
+    at their defaults)."""
+    nm = mp.valid.shape[0]
+    n_obs = ms.mp_observation_counts(kf, nm)
+    leaving = (mp_tick >= 0) & (tick - mp_tick == 3)
+    bad = mp.valid & leaving & (mp.client_id == client_id) & (n_obs <= 3)
+    obs_dead = bad[jnp.maximum(kf.mp_idx, 0)] & (kf.mp_idx >= 0)
+    return (
+        kf._replace(mp_idx=jnp.where(obs_dead, -1, kf.mp_idx)),
+        mp._replace(valid=mp.valid & ~bad),
+        jnp.sum(bad),
+    )
+
+
+def cull_recent_mps_server(m: ms.MapState, mp_tick: np.ndarray, tick: int,
+                           client_id: int) -> int:
+    """Run the server landmark probation check; ``mp_tick`` maps MP slot ->
+    processed-KF count at insertion (-1 = untracked)."""
+    m.kf, m.mp, n = _cull_server_kernel(
+        m.kf, m.mp, jnp.asarray(mp_tick), tick, client_id
+    )
     n = int(n)
     if n:
         m.sync_host_index()
@@ -347,21 +487,29 @@ def map_trimming(m: ms.MapState, config: Config) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("nm",))
-def _redundancy_kernel(kf: ms.KFBlock, nm: int):
-    """Per-KF fraction of its observations whose landmark is seen by >= 4
-    keyframes (reference KeyFrameCullingV3 src/Mapping.cpp:789 counts
-    redundant observations at same-or-finer scale; the scale condition is
-    dropped — covis-count redundancy dominates the decision)."""
-    memb = ms.observation_membership(kf, nm)
-    n_obs = memb.sum(0)                       # (NM,)
-    redundant_mp = n_obs >= 4
+@functools.partial(jax.jit, static_argnames=("nm", "n_levels"))
+def _redundancy_kernel(kf: ms.KFBlock, nm: int, n_levels: int = 8):
+    """Per-KF fraction of redundant observations (reference
+    KeyFrameCullingV3 src/Mapping.cpp:816-881): an observation of landmark L
+    at octave o is redundant iff L has >3 observations total AND >=3 OTHER
+    keyframes observe L at the same-or-finer scale (octave' <= o + 1).
+
+    Vectorized as a per-(landmark, octave) observation histogram + cumsum —
+    no per-observation loop."""
     obs_ok = kf.feat_valid & (kf.mp_idx >= 0) & kf.valid[:, None]
-    red = jnp.where(
-        obs_ok, redundant_mp[jnp.maximum(kf.mp_idx, 0)], False
-    ).sum(1)
+    l = jnp.where(obs_ok, kf.mp_idx, nm)      # trash row nm for invalid
+    o = jnp.clip(kf.octave, 0, n_levels - 1)
+    hist = jnp.zeros((nm + 1, n_levels), jnp.int32)
+    hist = hist.at[l.reshape(-1), o.reshape(-1)].add(1)
+    cum = jnp.cumsum(hist[:nm], axis=1)       # obs of L at octave <= col
+    n_obs_total = cum[:, -1]
+    lm = jnp.maximum(kf.mp_idx, 0)
+    o1 = jnp.clip(o + 1, 0, n_levels - 1)
+    others_finer = cum[lm, o1] - 1            # own octave is always <= o+1
+    red = obs_ok & (n_obs_total[lm] > 3) & (others_finer >= 3)
     tot = obs_ok.sum(1)
-    return red.astype(jnp.float32) / jnp.maximum(tot.astype(jnp.float32), 1.0)
+    return red.sum(1).astype(jnp.float32) \
+        / jnp.maximum(tot.astype(jnp.float32), 1.0)
 
 
 def cull_redundant_keyframes(m: ms.MapState, config: Config, protect=None,
@@ -370,7 +518,9 @@ def cull_redundant_keyframes(m: ms.MapState, config: Config, protect=None,
     whose observations are overwhelmingly redundant is deleted. The origin
     KF, spanning-tree roots, and freshly arrived KFs are protected."""
     protect = protect or set()
-    frac = np.asarray(_redundancy_kernel(m.kf, nm=m.nm))
+    frac = np.asarray(_redundancy_kernel(
+        m.kf, nm=m.nm, n_levels=config.extractor.n_levels
+    ))
     valid = np.asarray(m.kf.valid)
     kf_ids = np.asarray(m.kf.kf_id)
     parent = np.asarray(m.kf.parent)
@@ -463,11 +613,7 @@ class LocalMapper:
     last_kf_slot: int = -1
 
     def covis_neighbors(self, slot: int, k: int = N_TRIANG_NEIGHBORS):
-        W = np.asarray(ms.covisibility(self.map.kf, self.map.nm))
-        w = W[slot]
-        order = np.argsort(-w)
-        out = [int(s) for s in order[:k] if w[s] >= 15 and bool(np.asarray(self.map.kf.valid)[s])]
-        return out
+        return covis_neighbors_of(self.map, slot, k=k)
 
     def process_keyframe(self, fr: Frame) -> int:
         """Insert a new KF from a tracked frame and run the mapping pipeline.

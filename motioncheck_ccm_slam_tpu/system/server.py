@@ -41,8 +41,14 @@ class ServerClientHandler:
     loop_closer: loop_closing.LoopCloser = None
     vocab: vocab_mod.Vocabulary = None
     n_kfs_processed: int = 0
+    # landmark probation bookkeeping (reference mlpRecentAddedMapPoints):
+    # MP slot -> processed-KF count at first sight; -1 untracked, -2 exempt
+    mp_tick: np.ndarray = None
+    recent_slots: List[int] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
+        if self.mp_tick is None:
+            self.mp_tick = np.full(self.map.nm, -1, np.int32)
         if self.comm is None:
             self.comm = comm_mod.ServerComm(
                 config=self.config, channel=self.channel, map=self.map,
@@ -74,6 +80,9 @@ class ServerClientHandler:
                    map_id=self.client_id)
         self.loop_closer.database = db
         self.loop_closer.consistent_groups = []
+        # merged-in landmarks are mature: exempt from probation culling
+        self.mp_tick = np.where(np.asarray(new_map.mp.valid), -2, -1
+                                ).astype(np.int32)
 
     def _interrupt_check(self):
         """INTERRUPTBA: fresh agent data queued on the channel aborts a
@@ -83,25 +92,50 @@ class ServerClientHandler:
         return lambda: not self.channel.to_server.empty()
 
     def spin(self) -> List[int]:
-        """One server cycle for this agent. Returns new KF slots."""
+        """One server cycle for this agent: the server mapping pipeline per
+        arriving KF (reference LocalMapping::RunServer src/Mapping.cpp:141):
+        landmark probation culling per KF; neighbor fuse-with-replace, stat
+        refresh and scale-aware redundancy culling once per burst (the
+        reference skips them too while the KF queue is non-empty); then loop
+        closing. Returns new KF slots."""
         self.comm.tick()
         new_slots = list(self.comm.new_kf_slots)
+        if len(self.mp_tick) < self.map.nm:    # map blocks grew
+            self.mp_tick = np.concatenate([
+                self.mp_tick,
+                np.full(self.map.nm - len(self.mp_tick), -1, np.int32),
+            ])
+        for slot in new_slots:
+            if not bool(np.asarray(self.map.kf.valid[slot])):
+                continue
+            self.n_kfs_processed += 1
+            # register freshly arrived landmarks for probation
+            fresh = np.asarray(self.map.mp.valid) & (self.mp_tick == -1)
+            self.mp_tick[fresh] = self.n_kfs_processed
+            mapping_mod.cull_recent_mps_server(
+                self.map, self.mp_tick, self.n_kfs_processed, self.client_id
+            )
+            self.recent_slots.append(slot)
+        window = self.config.mapping.recent_kf_window
+        self.recent_slots = self.recent_slots[-window:]
         if new_slots:
-            # refresh landmark stats like the server mapping pipeline
+            last = new_slots[-1]
+            nbs = mapping_mod.covis_neighbors_of(self.map, last)
+            mapping_mod.fuse_neighbors(self.map, [last] + nbs, self.config)
             self.map.mp = ms.update_mp_descriptors_and_normals(
                 self.map.kf, self.map.mp,
                 orb.scale_factors(self.config.extractor),
             )
-            # redundancy-based KF culling (reference KeyFrameCullingV3)
+            # redundancy-based KF culling (reference KeyFrameCullingV3);
+            # recent arrivals are protected (reference mlpRecentAddedKFs)
             mapping_mod.cull_redundant_keyframes(
-                self.map, self.config, protect=set(new_slots)
+                self.map, self.config, protect=set(self.recent_slots)
             )
         for slot in new_slots:
             if bool(np.asarray(self.map.kf.valid[slot])):
                 self.loop_closer.process_keyframe(
                     slot, interrupt_check=self._interrupt_check()
                 )
-                self.n_kfs_processed += 1
         return new_slots
 
 
