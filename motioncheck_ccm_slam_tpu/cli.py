@@ -85,6 +85,11 @@ def _finish(server, clients, out_dir, t0):
     stats = {
         "wall_s": round(time.time() - t0, 1),
         "n_merges": server.n_merges,
+        # liveness (reference mylog watchdog): modules silent > timeout
+        "watchdog_silent": [m for m, _, _ in server.watchdog.silent_modules()]
+        + [f"client{cid}:{m}"
+           for cid, c in enumerate(clients)
+           for m, _, _ in c.watchdog.silent_modules()],
         "agents": {
             cid: {
                 "frames": len(c.tracker.trajectory),

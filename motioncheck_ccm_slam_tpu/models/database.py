@@ -8,8 +8,13 @@ retrieval for a query keyframe is one matvec + masking:
   gates on the min score among covis neighbors (reference
   DetectLoopCandidates, Database.h:75);
 - ``detect_map_match_candidates`` — excludes all KFs of the query's own map
-  (reference DetectMapMatchCandidates, Database.h:76);
-- ``detect_relocalization_candidates`` — no exclusions (Database.h:79).
+  (reference DetectMapMatchCandidates, Database.h:76).
+
+The reference's third retrieval mode, DetectRelocalizationCandidates
+(Database.h:79), has no equivalent here by design: the client map is clipped
+to a few thousand landmarks, so relocalization brute-force matches the frame
+against the whole landmark block in one Hamming matmul (models/tracking.py
+Tracker._relocalize) — candidate KF preselection buys nothing on TPU.
 """
 from __future__ import annotations
 
@@ -107,9 +112,4 @@ class KeyFrameDatabase:
         s = np.asarray(self.scores(query_bow))
         mask = np.asarray(self.present) & (np.asarray(self.map_id) != own_map_id)
         idx = np.flatnonzero(mask & (s >= min_score))
-        return idx[np.argsort(-s[idx])][:top_k], s
-
-    def detect_relocalization_candidates(self, query_bow, top_k: int = 5):
-        s = np.asarray(self.scores(query_bow))
-        idx = np.flatnonzero(np.asarray(self.present))
         return idx[np.argsort(-s[idx])][:top_k], s

@@ -159,6 +159,14 @@ class ClientComm:
     sent_mp_once: Set[int] = dataclasses.field(default_factory=set)
     sent_kf_once: Set[int] = dataclasses.field(default_factory=set)
     n_published: int = 0
+    # last-published state: reduced updates are emitted only for entities
+    # whose pose/position CHANGED since the last publish (the reference
+    # queues an entity via KeyFrame::SendMe() when an optimization moves it;
+    # re-sending everything every cycle is unbounded traffic)
+    last_pub_kf_pose: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+    last_pub_mp_pos: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)
 
     def on_new_keyframe(self, m: ms.MapState, slot: int):
         self.pending_kfs.append(slot)
@@ -286,6 +294,8 @@ class ClientComm:
             out.keyframes.append(msg_kf)
             self.sent_unacked_kf.add(msg_kf.kf_id)
             self.sent_kf_once.add(msg_kf.kf_id)
+            self.last_pub_kf_pose[msg_kf.kf_id] = np.asarray(
+                m.kf.Tcw[slot]).copy()
             # ship this KF's new landmarks
             mp_slots = np.unique(np.asarray(m.kf.mp_idx[slot]))
             for mslot in mp_slots:
@@ -300,14 +310,24 @@ class ClientComm:
                 out.map_points.append(mm)
                 self.sent_unacked_mp.add(mp_id)
                 self.sent_mp_once.add(mp_id)
+                self.last_pub_mp_pos[mp_id] = np.asarray(
+                    m.mp.Xw[mslot]).copy()
                 mp_sent += 1
-        # reduced pose updates for already-acked KFs still in the local map
-        for kf_id in sorted(self.acked_kf):
+        # reduced pose updates for acked KFs whose pose CHANGED since the
+        # last publish (local BA moved them), budgeted like full messages
+        # (reference KFred.msg + Comm.Client.KfItBound conf/config.yaml:89)
+        red_budget = max(0, cfg.client_kf_it_bound - len(out.keyframes))
+        for kf_id in sorted(self.acked_kf, reverse=True):
+            if len(out.keyframes_red) >= red_budget:
+                break
             slot = m.kf_slot_by_id.get((kf_id, self.client_id))
             if slot is None or not kf_valid_np[slot]:
                 continue
-            pred = int(np.asarray(m.kf.pred[slot]))
             Tcw = np.asarray(m.kf.Tcw[slot])
+            last = self.last_pub_kf_pose.get(kf_id)
+            if last is not None and np.allclose(Tcw, last, atol=1e-6):
+                continue
+            pred = int(np.asarray(m.kf.pred[slot]))
             if pred >= 0 and kf_valid_np[pred]:
                 pred_id = int(kf_ids_np[pred])
                 Tcp = Tcw @ np.linalg.inv(np.asarray(m.kf.Tcw[pred]))
@@ -318,6 +338,34 @@ class ClientComm:
                 KfRedMsg(kf_id=kf_id, client_id=self.client_id,
                          Tcp=Tcp, pred_id=pred_id)
             )
+            self.last_pub_kf_pose[kf_id] = Tcw.copy()
+        # reduced position updates for acked landmarks that moved
+        # (reference MPred.msg + MpItBound)
+        mp_red_budget = max(0, cfg.client_mp_it_bound - mp_sent)
+        for mp_id in sorted(self.acked_mp, reverse=True):
+            if len(out.map_points_red) >= mp_red_budget:
+                break
+            mslot = m.mp_slot_by_id.get((mp_id, self.client_id))
+            if mslot is None or not bool(np.asarray(m.mp.valid[mslot])):
+                continue
+            X = np.asarray(m.mp.Xw[mslot])
+            last = self.last_pub_mp_pos.get(mp_id)
+            if last is not None and np.allclose(X, last, atol=1e-6):
+                continue
+            ref = int(np.asarray(m.mp.ref_kf[mslot]))
+            if ref < 0 or not kf_valid_np[ref]:
+                continue
+            Tcw_ref = np.asarray(m.kf.Tcw[ref])
+            out.map_points_red.append(MpRedMsg(
+                mp_id=mp_id, client_id=self.client_id,
+                pos_ref=Tcw_ref[:3, :3] @ X + Tcw_ref[:3, 3],
+                ref_kf_id=int(kf_ids_np[ref]),
+            ))
+            self.last_pub_mp_pos[mp_id] = X.copy()
+        # current reference KF: the server centers its vicinity window on it
+        # (reference Map.msg mClosestKfId)
+        if len(self.acked_kf) or len(self.sent_unacked_kf):
+            out.closest_kf_id = max(self.acked_kf | self.sent_unacked_kf)
         self.channel.client_send(out)
         self.n_published += 1
 
@@ -345,6 +393,12 @@ class ServerComm:
     idle_cycles: int = 0
     got_data: bool = False
     next_kf_id: int = 0    # kept for interface parity; ids come from client
+    # server-global uid source shared across handlers (reference
+    # UniqueIdDispenser estd.h:83-108; uid 0 = unset)
+    uid_dispenser: object = None
+    # the client's current reference KF (reference Map.msg mClosestKfId):
+    # centers the vicinity window the server ships back
+    closest_kf_id: int = -1
 
     def _resolve_kf(self, kf_id: int) -> Optional[int]:
         return self.map.kf_slot_by_id.get((kf_id, self.client_id))
@@ -384,6 +438,9 @@ class ServerComm:
             parent_slot=parent if parent is not None else (pred if pred >= 0 else -1),
             pred_slot=pred if pred >= 0 else -1,
         )
+        if self.uid_dispenser is not None:
+            m.kf = m.kf._replace(unique_id=m.kf.unique_id.at[slot].set(
+                self.uid_dispenser.fetch()))
         self.new_kf_slots.append(slot)
         return True
 
@@ -503,7 +560,12 @@ class ServerComm:
         for k in bound_kf_msgs:
             self._late_bind_mp_assocs(k)
         # reduced updates: pose refresh through predecessor relativity
+        # (batched into one scatter per cycle)
+        red_slots, red_poses = [], []
+        mp_red_slots, mp_red_pos = [], []
         for msg in incoming:
+            if msg.closest_kf_id >= 0:
+                self.closest_kf_id = msg.closest_kf_id
             for r in msg.keyframes_red:
                 slot = self._resolve_kf(r.kf_id)
                 if slot is None:
@@ -515,13 +577,30 @@ class ServerComm:
                     Tcw = r.Tcp @ np.asarray(self.map.kf.Tcw[pred_slot])
                 else:
                     Tcw = r.Tcp
-                import jax.numpy as jnp
-
-                self.map.kf = self.map.kf._replace(
-                    Tcw=self.map.kf.Tcw.at[slot].set(
-                        jnp.asarray(Tcw.astype(np.float32))
-                    )
-                )
+                red_slots.append(slot)
+                red_poses.append(Tcw.astype(np.float32))
+            # landmark position refresh relative to the reference KF
+            # (reference MPred.msg / ProcessMpInServer reduced path)
+            for r in msg.map_points_red:
+                mslot = self.map.mp_slot_by_id.get(
+                    (r.mp_id, self.client_id))
+                ref_slot = self._resolve_kf(r.ref_kf_id)
+                if mslot is None or ref_slot is None:
+                    continue
+                Twc = np.linalg.inv(np.asarray(self.map.kf.Tcw[ref_slot]))
+                mp_red_slots.append(mslot)
+                mp_red_pos.append(
+                    (Twc[:3, :3] @ r.pos_ref + Twc[:3, 3]).astype(np.float32))
+        if red_slots:
+            self.map.kf = self.map.kf._replace(
+                Tcw=self.map.kf.Tcw.at[jnp.asarray(red_slots)].set(
+                    jnp.asarray(np.stack(red_poses)))
+            )
+        if mp_red_slots:
+            self.map.mp = self.map.mp._replace(
+                Xw=self.map.mp.Xw.at[jnp.asarray(mp_red_slots)].set(
+                    jnp.asarray(np.stack(mp_red_pos)))
+            )
         # acks back (weak ack = contiguous prefix of processed ids)
         reply = MapMsg(sender_client_id=-1)
         reply.acks_kf = kf_processed
@@ -552,7 +631,13 @@ class ServerComm:
         if not own.any():
             return []
         kf_ids = np.asarray(m.kf.kf_id)
-        newest = np.flatnonzero(own)[np.argmax(kf_ids[own])]
+        # center on the client's reported reference KF (mClosestKfId);
+        # newest own KF as fallback
+        newest = None
+        if self.closest_kf_id >= 0:
+            newest = m.kf_slot_by_id.get((self.closest_kf_id, self.client_id))
+        if newest is None:
+            newest = np.flatnonzero(own)[np.argmax(kf_ids[own])]
         from ..models import map_state as ms
 
         W = np.asarray(ms.covisibility(m.kf, m.nm))

@@ -22,6 +22,7 @@ from ..models import tracking as tracking_mod
 from ..models.frame import Frame
 from ..ops import lie, orb
 from ..solvers import ba_core, local_ba
+from ..utils import watchdog as watchdog_mod
 
 
 @dataclasses.dataclass
@@ -31,6 +32,9 @@ class ClientSystem:
     tracker: tracking_mod.Tracker = None
     mapper: mapping_mod.LocalMapper = None
     comm: object = None      # optional Communicator, set by the runner
+    # liveness watchdog (reference estd::mylog; tracking/mapping/comm beats)
+    watchdog: watchdog_mod.Watchdog = dataclasses.field(
+        default_factory=lambda: watchdog_mod.Watchdog(timeout_s=30.0))
 
     def __post_init__(self):
         if self.map is None:
@@ -57,6 +61,8 @@ class ClientSystem:
             # src/Tracking.cpp:249-259 via ClientHandler::Reset)
             self._reset_map()
             return fr
+        self.watchdog.beat("tracking", self.tracker.state.name)
+        self.watchdog.beat("mapping", f"{self.map.n_kfs} kfs")
         if self.tracker.init_result is not None:
             self._create_initial_map()
         elif (
@@ -65,10 +71,12 @@ class ClientSystem:
         ):
             slot = self.mapper.process_keyframe(fr)
             self.tracker.notify_kf_created(fr.n_tracked)
+            self.watchdog.beat("mapping", f"kf slot {slot}")
             if self.comm is not None:
                 self.comm.on_new_keyframe(self.map, slot)
         if self.comm is not None:
             self.comm.tick(self.map)
+            self.watchdog.beat("comm", f"pub {self.comm.n_published}")
         return fr
 
     # ------------------------------------------------------------------

@@ -27,6 +27,8 @@ from ..models import mapping as mapping_mod
 from ..models import vocabulary as vocab_mod
 from ..ops import orb
 from ..parallel import comm as comm_mod
+from ..utils import ids as ids_mod
+from ..utils import watchdog as watchdog_mod
 
 
 @dataclasses.dataclass
@@ -154,10 +156,16 @@ class ServerSystem:
     final_gba_done: bool = False
     n_merges: int = 0
     n_gba_interrupts: int = 0
+    uid_dispenser: ids_mod.UniqueIdDispenser = None
+    watchdog: watchdog_mod.Watchdog = None
 
     def __post_init__(self):
         if self.vocab is None:
             self.vocab = vocab_mod.default_vocabulary()
+        if self.uid_dispenser is None:
+            self.uid_dispenser = ids_mod.UniqueIdDispenser()
+        if self.watchdog is None:
+            self.watchdog = watchdog_mod.Watchdog(timeout_s=30.0)
         maps = {}
         for cid in range(self.n_agents):
             ch = comm_mod.Channel()
@@ -167,6 +175,7 @@ class ServerSystem:
                 config=self.config, client_id=cid, map=m, channel=ch,
                 vocab=self.vocab,
             )
+            self.handlers[cid].comm.uid_dispenser = self.uid_dispenser
             maps[cid] = m
         if self.matcher is None:
             self.matcher = map_matching.MapMatcher(
@@ -180,6 +189,12 @@ class ServerSystem:
     def spin_once(self):
         for cid, h in self.handlers.items():
             new_slots = h.spin()
+            # the reference's mylog stamps every thread-loop pass
+            # (estd.h:206-400), not only passes with work
+            self.watchdog.beat(f"comm{cid}",
+                               f"{h.comm.idle_cycles} idle cycles")
+            self.watchdog.beat(f"mapping{cid}", f"{len(new_slots)} kfs")
+            self.watchdog.beat(f"placerec{cid}")
             # keep the matcher's map table pointing at live maps
             self.matcher.maps[cid] = h.map
             for slot in new_slots:

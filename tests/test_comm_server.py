@@ -108,3 +108,61 @@ def test_message_loss_tolerance():
         server.spin_once()
     smap = server.handlers[0].map
     assert smap.n_kfs >= client.map.n_kfs  # everything arrived eventually
+
+
+def test_reduced_stream_is_budgeted_and_changed_only(client_server_run):
+    """KfRedMsg/MpRedMsg are emitted only for entities whose pose/position
+    changed since the last publish, within the configured budgets (the
+    reference budgets all traffic, conf/config.yaml:88-100)."""
+    client, server = client_server_run
+    cfg = TEST_CONFIG.comm
+    # steady state: nothing changed since the last tick -> empty reds
+    client.comm.tick(client.map)
+    msg = server.channel_for(0).server_recv()
+    assert msg is not None
+    assert len(msg.keyframes_red) == 0
+    assert len(msg.map_points_red) == 0
+    assert msg.closest_kf_id >= 0
+    # perturb one acked KF pose and one acked landmark -> exactly those flow
+    m = client.map
+    kf_id = max(client.comm.acked_kf)
+    slot = m.kf_slot_by_id[(kf_id, 0)]
+    m.kf = m.kf._replace(Tcw=m.kf.Tcw.at[slot, 0, 3].add(0.05))
+    mp_id = max(client.comm.acked_mp)
+    mslot = m.mp_slot_by_id[(mp_id, 0)]
+    m.mp = m.mp._replace(Xw=m.mp.Xw.at[mslot, 1].add(0.05))
+    client.comm.tick(m)
+    msg = server.channel_for(0).server_recv()
+    red_ids = [r.kf_id for r in msg.keyframes_red]
+    assert red_ids == [kf_id]
+    assert [r.mp_id for r in msg.map_points_red] == [mp_id]
+    assert len(msg.keyframes_red) <= cfg.client_kf_it_bound
+    assert len(msg.map_points_red) <= cfg.client_mp_it_bound
+    # server applies both updates
+    server.channel_for(0).client_send(msg)
+    smap = server.handlers[0].map
+    server.handlers[0].comm.tick()
+    sslot = smap.kf_slot_by_id[(kf_id, 0)]
+    smslot = smap.mp_slot_by_id[(mp_id, 0)]
+    assert np.allclose(np.asarray(smap.kf.Tcw[sslot]),
+                       np.asarray(m.kf.Tcw[slot]), atol=1e-4)
+    assert np.allclose(np.asarray(smap.mp.Xw[smslot]),
+                       np.asarray(m.mp.Xw[mslot]), atol=1e-4)
+
+
+def test_server_assigns_unique_ids(client_server_run):
+    """Every mirrored KF gets a server-global uid (reference
+    UniqueIdDispenser estd.h:83-108; 0 = unset)."""
+    client, server = client_server_run
+    smap = server.handlers[0].map
+    valid = np.asarray(smap.kf.valid)
+    uids = np.asarray(smap.kf.unique_id)[valid]
+    assert (uids > 0).all()
+    assert len(set(uids.tolist())) == len(uids)
+
+
+def test_watchdog_beats(client_server_run):
+    client, server = client_server_run
+    assert not server.watchdog.silent_modules()
+    assert "comm0" in server.watchdog.report()
+    assert not client.watchdog.silent_modules()
