@@ -137,6 +137,12 @@ def cmd_synth(args):
     if args.blackout:
         a, b = args.blackout.split(":")
         blackout = (int(a), int(b))
+    live = None
+    if getattr(args, "live", None) is not None:
+        from .utils.live_viewer import LiveViewer
+
+        live = LiveViewer(port=args.live)
+        print(f"live viewer: {live.url}")
     seqs = [list(s.sequence(args.frames)) for s in scenes]
     import numpy as np
     for i in range(args.frames):
@@ -148,7 +154,16 @@ def cmd_synth(args):
                 img = np.zeros_like(img)
             c.process_image(img, t)
         server.spin_once()
+        if live is not None:
+            seen, views = set(), {}
+            for cid, h in server.handlers.items():
+                if id(h.map) not in seen:
+                    seen.add(id(h.map))
+                    views[f"server{cid}"] = h.map
+            live.update(views)
     _finish(server, clients, args.out, t0)
+    if live is not None:
+        live.close()
 
 
 def cmd_euroc(args):
@@ -221,6 +236,8 @@ def main():
                     help="zero out frames [A, B) to force tracking loss")
     ps.add_argument("--small", action="store_true",
                     help="reduced feature/capacity preset for CPU smoke runs")
+    ps.add_argument("--live", type=int, default=None, metavar="PORT",
+                    help="serve a live 3D map view on this port (0 = auto)")
     ps.set_defaults(fn=cmd_synth)
     pe = sub.add_parser("euroc", help="EuRoC sequence replay")
     pe.add_argument("--seq", required=True, help="sequence dir (contains mav0)")

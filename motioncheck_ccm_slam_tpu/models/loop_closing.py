@@ -55,8 +55,11 @@ class LoopCloser:
 
     def _covis_group(self, slot: int, W=None, thres: float = 15.0) -> Set[int]:
         if W is None:
-            W = self._covis()
-        return set(np.flatnonzero(W[slot] >= thres).tolist()) | {slot}
+            # one row is enough — avoids the full O(NK^2) matrix per tick
+            w = np.asarray(ms.covisibility_row(self.map.kf, self.map.nm, slot))
+        else:
+            w = W[slot]
+        return set(np.flatnonzero(w >= thres).tolist()) | {slot}
 
     # ------------------------------------------------------------------
     def detect(self, slot: int) -> Optional[int]:
@@ -70,9 +73,8 @@ class LoopCloser:
             self.database.add(slot, kf.desc[slot], kf.feat_valid[slot],
                               map_id=self.map_id)
             return None
-        W = self._covis()
         covis_mask = np.zeros(self.map.nk, bool)
-        grp = self._covis_group(slot, W)
+        grp = self._covis_group(slot)
         covis_mask[list(grp)] = True
         qbow = self.database.add(slot, kf.desc[slot], kf.feat_valid[slot],
                                  map_id=self.map_id)
@@ -87,7 +89,7 @@ class LoopCloser:
         new_groups: List[Tuple[Set[int], int]] = []
         accepted = None
         for cand in cands:
-            cand_grp = self._covis_group(int(cand), W)
+            cand_grp = self._covis_group(int(cand))
             best_count = 0
             for grp_prev, count in self.consistent_groups:
                 if cand_grp & grp_prev:

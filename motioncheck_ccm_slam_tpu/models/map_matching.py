@@ -83,8 +83,8 @@ class MapMatcher:
     def _covis_group(self, map_id: int, slot: int, thres: float = 15.0
                      ) -> Set[int]:
         m = self.maps[map_id]
-        W = np.asarray(ms.covisibility(m.kf, m.nm))
-        return set(np.flatnonzero(W[slot] >= thres).tolist()) | {slot}
+        w = np.asarray(ms.covisibility_row(m.kf, m.nm, slot))
+        return set(np.flatnonzero(w >= thres).tolist()) | {slot}
 
     def check(self, map_id: int, slot: int) -> Optional[MapMatchHit]:
         """Look for a cross-map hit for a newly arrived KF. A candidate is

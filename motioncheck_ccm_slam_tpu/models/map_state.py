@@ -140,6 +140,29 @@ def covisibility(kf: KFBlock, nm: int, dtype=jnp.float32):
     return W - jnp.diag(jnp.diag(W))
 
 
+@jax.jit
+def _covis_row_kernel(kf: KFBlock, memb_row):
+    nm = memb_row.shape[0]
+    nk, f = kf.mp_idx.shape
+    obs_ok = kf.feat_valid & (kf.mp_idx >= 0) & kf.valid[:, None]
+    shared = jnp.where(
+        obs_ok, memb_row[jnp.maximum(kf.mp_idx, 0)], False
+    ).sum(1).astype(jnp.float32)
+    return shared
+
+
+def covisibility_row(kf: KFBlock, nm: int, slot: int):
+    """(NK,) covisibility weights of ONE keyframe — O(NK·F) gather instead
+    of the full O(NK²) matrix; per-tick consumers (vicinity packing,
+    neighbor selection, consistency groups) only ever need one row."""
+    obs_ok = kf.feat_valid[slot] & (kf.mp_idx[slot] >= 0) & kf.valid[slot]
+    memb_row = jnp.zeros(nm + 1, bool).at[
+        jnp.where(obs_ok, kf.mp_idx[slot], nm)
+    ].set(True)[:nm]
+    row = _covis_row_kernel(kf, memb_row)
+    return row.at[slot].set(0.0)
+
+
 def mp_observation_counts(kf: KFBlock, nm: int):
     """(NM,) i32 number of keyframes observing each landmark."""
     return observation_membership(kf, nm).sum(0).astype(jnp.int32)

@@ -33,8 +33,7 @@ N_TRIANG_NEIGHBORS = 5     # covis neighbors used for triangulation (the
 def covis_neighbors_of(m: ms.MapState, slot: int,
                        k: int = N_TRIANG_NEIGHBORS, thres: float = 15.0):
     """Strongest covisibility neighbors of one KF (weight >= thres)."""
-    W = np.asarray(ms.covisibility(m.kf, m.nm))
-    w = W[slot]
+    w = np.asarray(ms.covisibility_row(m.kf, m.nm, slot))
     valid = np.asarray(m.kf.valid)
     order = np.argsort(-w)
     return [int(s) for s in order[:k] if w[s] >= thres and valid[s]]

@@ -52,20 +52,23 @@ def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
-    """Separable Gaussian blur of (H, W) f32, SAME border (edge replicate)."""
-    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    """Separable Gaussian blur of (H, W) f32, SAME border (edge replicate).
+
+    Implemented as shift-and-add (static slices of one padded buffer): a
+    1-channel NCHW conv maps terribly onto the TPU's MXU (127/128 lanes
+    idle) and measured ~3 ms for a 7-tap blur at 752x480; the fused
+    elementwise form is bandwidth-bound at well under 1 ms."""
+    k = _gaussian_kernel_1d(ksize, sigma)
     half = ksize // 2
-    # pad with edge replication like cv::BORDER_REFLECT_101-ish (edge is fine
-    # for a 7px kernel at image borders)
+    h, w = img.shape
     x = jnp.pad(img, ((half, half), (half, half)), mode="edge")
-    # horizontal then vertical pass via conv on (N=1, C=1, H, W)
-    x4 = x[None, None]
-    kh = k.reshape(1, 1, 1, ksize)
-    kv = k.reshape(1, 1, ksize, 1)
-    dn = jax.lax.conv_dimension_numbers(x4.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    y = jax.lax.conv_general_dilated(x4, kh, (1, 1), "VALID", dimension_numbers=dn)
-    y = jax.lax.conv_general_dilated(y, kv, (1, 1), "VALID", dimension_numbers=dn)
-    return y[0, 0]
+    mid = float(k[0]) * x[:, 0:w]
+    for i in range(1, ksize):
+        mid = mid + float(k[i]) * x[:, i:i + w]
+    out = float(k[0]) * mid[0:h, :]
+    for i in range(1, ksize):
+        out = out + float(k[i]) * mid[i:i + h, :]
+    return out
 
 
 def bilinear_sample(img, xy):

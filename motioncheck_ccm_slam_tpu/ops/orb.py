@@ -284,29 +284,30 @@ def ic_moment_maps(img, half_patch: int):
     r = vx.shape[0]
     p = half_patch
     ksz = 2 * p + 1
-    x = jnp.pad(img, ((p, p), (p, p)), mode="edge")[None, None]
-    # horizontal pass: 2r channels = [conv_x v_i] (for m10) ++ [conv_x u_i s_i]
-    # (for m01 = kx^T's horizontal factors)
-    kh = np.zeros((2 * r, 1, 1, ksz), np.float32)
-    kh[:r, 0, 0, :] = vx
-    kh[r:, 0, 0, :] = uy.T
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, kh.shape, ("NCHW", "OIHW", "NCHW")
-    )
-    mid = jax.lax.conv_general_dilated(
-        x, jnp.asarray(kh), (1, 1), "VALID", dimension_numbers=dn
-    )
+    h, w = img.shape
+    x = jnp.pad(img, ((p, p), (p, p)), mode="edge")
+    # Both passes as shift-and-add over static slices of the padded buffer
+    # (a 1-channel conv wastes the MXU; the fused elementwise form is
+    # bandwidth-bound). Horizontal: 2r channels = [v_i] (m10) ++ [u_i s_i]
+    # (m01 = kx^T shares factors with roles swapped).
+    kh = np.concatenate([vx, uy.T], 0)          # (2r, ksz)
+    mid = []
+    for c in range(2 * r):
+        acc = float(kh[c, 0]) * x[:, 0:w]
+        for i in range(1, ksz):
+            acc = acc + float(kh[c, i]) * x[:, i:i + w]
+        mid.append(acc)                          # (Hp, w)
     # vertical pass combines channels into the two moment maps
-    kv = np.zeros((2, 2 * r, ksz, 1), np.float32)
-    kv[0, :r, :, 0] = uy.T
-    kv[1, r:, :, 0] = vx
-    dn2 = jax.lax.conv_dimension_numbers(
-        mid.shape, kv.shape, ("NCHW", "OIHW", "NCHW")
-    )
-    out = jax.lax.conv_general_dilated(
-        mid, jnp.asarray(kv), (1, 1), "VALID", dimension_numbers=dn2
-    )
-    return out[0, 0], out[0, 1]
+    kv = np.concatenate([uy.T, vx], 0)           # (2r, ksz): uy for m10 rows
+    m10 = jnp.zeros((h, w), img.dtype)
+    m01 = jnp.zeros((h, w), img.dtype)
+    for c in range(r):
+        for j in range(ksz):
+            m10 = m10 + float(kv[c, j]) * mid[c][j:j + h, :]
+    for c in range(r):
+        for j in range(ksz):
+            m01 = m01 + float(kv[r + c, j]) * mid[r + c][j:j + h, :]
+    return m10, m01
 
 
 def ic_angles(img, xy, half_patch: int, moment_maps=None):

@@ -640,10 +640,10 @@ class ServerComm:
             newest = np.flatnonzero(own)[np.argmax(kf_ids[own])]
         from ..models import map_state as ms
 
-        W = np.asarray(ms.covisibility(m.kf, m.nm))
-        order = np.argsort(-W[newest])
+        w = np.asarray(ms.covisibility_row(m.kf, m.nm, int(newest)))
+        order = np.argsort(-w)
         vicinity = [int(newest)] + [
-            int(s) for s in order if W[newest, s] >= 15 and valid[s]
+            int(s) for s in order if w[s] >= 15 and valid[s]
         ]
         out: List[KfRedMsg] = []
         for slot in vicinity[:max_kfs]:

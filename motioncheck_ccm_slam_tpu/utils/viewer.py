@@ -114,13 +114,10 @@ resize();
 """
 
 
-def export_html(m, path: str, title: str = "map") -> None:
-    """Standalone interactive 3D map viewer (no external deps — a pure-canvas
-    orbit renderer): landmark cloud, per-client KF trajectories, loop edges.
-    The live-RViz replacement (reference src/Viewer.cpp publishes the same
-    three marker classes)."""
-    import json
-
+def map_payload(m) -> dict:
+    """Viewer payload of one MapState: landmark cloud, per-client KF
+    trajectories, loop edges (the reference Viewer publishes the same three
+    marker classes, src/Viewer.cpp)."""
     mp_valid = np.asarray(m.mp.valid)
     X = np.asarray(m.mp.Xw)[mp_valid]
     kf_valid = np.asarray(m.kf.valid)
@@ -150,16 +147,24 @@ def export_html(m, path: str, title: str = "map") -> None:
     center = allp.mean(0) if len(allp) else np.zeros(3)
     radius = float(np.percentile(
         np.linalg.norm(allp - center, axis=-1), 90)) if len(allp) else 1.0
-    data = {
+    return {
         "points": pts.round(4).tolist(),
         "trajs": trajs,
         "edges": edges,
         "center": center.round(4).tolist(),
         "radius": max(radius, 1e-3),
     }
+
+
+def export_html(m, path: str, title: str = "map") -> None:
+    """Standalone interactive 3D map viewer (no external deps — a pure-canvas
+    orbit renderer). For a LIVE view while the system runs, see
+    ``utils.live_viewer.LiveViewer`` (serves the same renderer over HTTP)."""
+    import json
+
     html = (_HTML_TEMPLATE
             .replace("%TITLE%", title)
-            .replace("%DATA%", json.dumps(data)))
+            .replace("%DATA%", json.dumps(map_payload(m))))
     with open(path, "w") as f:
         f.write(html)
 

@@ -127,3 +127,34 @@ def test_search_by_sim3():
     assert ok.sum() >= n - 3
     inv = np.argsort(perm)
     np.testing.assert_array_equal(np.asarray(m.idx)[ok], inv[ok])
+
+
+def test_live_viewer_serves_and_updates():
+    """LiveViewer (the RViz replacement) serves the orbit page and an
+    updating /state.json."""
+    import json as _json
+    import urllib.request
+
+    from motioncheck_ccm_slam_tpu.utils.live_viewer import LiveViewer
+
+    world = SynthWorld(CONFIG, n_points=80, seed=0)
+    m = ms.MapState.create(CONFIG, server=False)
+    poses, ts = arc_poses(3, step=0.2)
+    add_pass(m, world, poses, ts, kf_id_start=0, seed=1)
+
+    lv = LiveViewer(port=0)
+    try:
+        page = urllib.request.urlopen(lv.url, timeout=5).read().decode()
+        assert "state.json" in page and "canvas" in page
+        s0 = _json.loads(urllib.request.urlopen(
+            lv.url + "state.json", timeout=5).read())
+        assert s0["seq"] == 0 and s0["trajs"] == []
+        lv.update({"server0": m})
+        s1 = _json.loads(urllib.request.urlopen(
+            lv.url + "state.json", timeout=5).read())
+        assert s1["seq"] == 1
+        assert len(s1["trajs"]) == 1
+        assert len(s1["trajs"][0]["pts"]) == 3
+        assert len(s1["points"]) > 10
+    finally:
+        lv.close()
