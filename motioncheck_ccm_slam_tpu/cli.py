@@ -154,14 +154,34 @@ def cmd_synth(args):
                 img = np.zeros_like(img)
             c.process_image(img, t)
         server.spin_once()
-        if live is not None:
+        if live is not None and i % 2 == 0:
             seen, views = set(), {}
             for cid, h in server.handlers.items():
                 if id(h.map) not in seen:
                     seen.add(id(h.map))
                     views[f"server{cid}"] = h.map
             live.update(views)
-    _finish(server, clients, args.out, t0)
+    stats = _finish(server, clients, args.out, t0)
+    # ATE vs the synthetic ground truth — the accuracy stand-in for EuRoC
+    # replay (the dataset is absent here; the evaluation machinery is the
+    # same Sim3-aligned ATE used by 'cli euroc')
+    from .utils import csv_io
+    for cid, c in enumerate(clients):
+        gt_by_t = {t: Tgt for (t, Tgt, _) in seqs[cid]}
+        est, gt = [], []
+        for (t, Tcw), ok in zip(c.tracker.trajectory,
+                                c.tracker.trajectory_ok):
+            if ok and t in gt_by_t:
+                est.append(np.linalg.inv(Tcw)[:3, 3])
+                gt.append(np.linalg.inv(gt_by_t[t])[:3, 3])
+        if len(est) >= 3:
+            rmse, mx = csv_io.ate_rmse(np.stack(est), np.stack(gt))
+            stats["agents"][cid]["ate_rmse_m"] = round(rmse, 4)
+            stats["agents"][cid]["ate_max_m"] = round(mx, 4)
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps({cid: a.get("ate_rmse_m") for cid, a in
+                      stats["agents"].items()}))
     if live is not None:
         live.close()
 

@@ -169,6 +169,7 @@ class Tracker:
     n_relocs: int = 0
     # trajectory log: (timestamp, Tcw (4,4) np) per frame for CSV export
     trajectory: list = dataclasses.field(default_factory=list)
+    trajectory_ok: list = dataclasses.field(default_factory=list)
     rng_key: jax.Array = dataclasses.field(
         default_factory=lambda: jax.random.PRNGKey(0)
     )
@@ -198,6 +199,9 @@ class Tracker:
             self._relocalize(fr)
         self.last_frame = fr
         self.trajectory.append((timestamp, np.asarray(fr.Tcw)))
+        # lockstep per-frame state flag (ATE evaluation excludes frames
+        # before initialization / while lost)
+        self.trajectory_ok.append(self.state == TrackState.OK)
         return fr
 
     # -- initialization -----------------------------------------------------

@@ -171,6 +171,12 @@ class ClientSystem:
         self.tracker.last_frame = cur
         self.tracker.notify_kf_created(n_new)
         self.tracker.velocity = None
+        # the bootstrap frame's trajectory entry was logged BEFORE the BA +
+        # median-depth normalization — rewrite it so exports/ATE see the
+        # frame at map scale (it was off by the whole unit-baseline factor)
+        if self.tracker.trajectory:
+            t_last, _ = self.tracker.trajectory[-1]
+            self.tracker.trajectory[-1] = (t_last, np.asarray(cur.Tcw))
         if self.comm is not None:
             self.comm.on_new_keyframe(m, slot0)
             self.comm.on_new_keyframe(m, slot1)
