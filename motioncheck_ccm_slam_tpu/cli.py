@@ -186,6 +186,111 @@ def cmd_synth(args):
         live.close()
 
 
+def cmd_serve(args):
+    """Server process: listen on TCP, mirror N agents, loop-close, merge,
+    final GBA (the reference's ServerNode, src/server/ServerNode.cpp)."""
+    from .config import CameraParams, Config
+    from .parallel.transport import ServerTransport
+    from .system.server import ServerSystem
+
+    config = Config().replace(
+        camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
+    )
+    if args.small:
+        config = _small_preset(config)
+    t0 = time.time()
+    transport = ServerTransport(host=args.host, port=args.port)
+    print(f"server listening on {args.host}:{transport.port} "
+          f"for {args.agents} agent(s)", flush=True)
+    server = ServerSystem(config=config, n_agents=args.agents)
+    for cid in range(args.agents):
+        ep = transport.wait_for(cid, timeout_s=args.timeout)
+        server.handlers[cid].channel = ep
+        server.handlers[cid].comm.channel = ep
+        server.channels[cid] = ep
+        print(f"agent {cid} connected", flush=True)
+    deadline = time.time() + args.timeout
+    while time.time() < deadline:
+        server.spin_once()
+        if server.maybe_final_gba():
+            break
+        time.sleep(0.1)
+    os.makedirs(args.out, exist_ok=True)
+    from .utils import viewer
+    for cid, tum in server.trajectories_tum().items():
+        with open(os.path.join(args.out, f"KF_FINAL_{cid}.tum"), "w") as f:
+            f.write(tum)
+    seen = set()
+    stats = {"wall_s": round(time.time() - t0, 1),
+             "n_merges": server.n_merges,
+             "final_gba_done": server.final_gba_done,
+             "server_maps": []}
+    for cid, h in server.handlers.items():
+        if id(h.map) in seen:
+            continue
+        seen.add(id(h.map))
+        viewer.render_map(h.map, os.path.join(args.out, f"map_{cid}.png"))
+        stats["server_maps"].append({
+            "kfs": h.map.n_kfs, "mps": h.map.n_mps,
+            "loops": h.loop_closer.n_loops_closed,
+        })
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+    transport.close()
+
+
+def cmd_agent(args):
+    """Agent process: synthetic camera -> tracking -> publish to the server
+    over TCP (the reference's ClientNode, src/client/ClientNode.cpp)."""
+    import sys
+
+    import numpy as np
+
+    from .config import CameraParams, Config, SystemParams
+    from .parallel import comm as comm_mod
+    from .parallel.transport import ClientTransport
+    from .system.client import ClientSystem
+
+    config = Config().replace(
+        camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
+    )
+    if args.small:
+        config = _small_preset(config)
+    config = config.replace(sys=SystemParams(client_id=args.id))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from synth_scene import SynthScene
+
+    host, port = args.connect.rsplit(":", 1)
+    transport = ClientTransport(host, int(port), args.id)
+    client = ClientSystem(config=config)
+    client.comm = comm_mod.ClientComm(
+        config=config, channel=transport, client_id=args.id
+    )
+    scene = SynthScene(config, n_points=700,
+                       seed=3 + (0 if args.shared_world else args.id),
+                       speed=0.9)
+    t0 = time.time()
+    for t, _, img in scene.sequence(args.frames):
+        client.process_image(img, t)
+    # drain retransmits until everything is acked, then say goodbye
+    for _ in range(60):
+        client.comm.tick(client.map)
+        if not client.comm.sent_unacked_kf and not client.comm.sent_unacked_mp:
+            break
+        time.sleep(0.2)
+    client.comm.send_goodbye()
+    stats = {
+        "wall_s": round(time.time() - t0, 1),
+        "state": client.tracker.state.name,
+        "client_kfs": client.map.n_kfs,
+        "client_mps": client.map.n_mps,
+        "unacked_kf": len(client.comm.sent_unacked_kf),
+    }
+    print(json.dumps(stats))
+    transport.close()
+
+
 def cmd_euroc(args):
     import numpy as np
 
@@ -259,6 +364,21 @@ def main():
     ps.add_argument("--live", type=int, default=None, metavar="PORT",
                     help="serve a live 3D map view on this port (0 = auto)")
     ps.set_defaults(fn=cmd_synth)
+    pv = sub.add_parser("serve", help="server process (TCP, multi-process)")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=0)
+    pv.add_argument("--agents", type=int, default=1)
+    pv.add_argument("--timeout", type=float, default=3600.0)
+    pv.add_argument("--out", default="/tmp/mcslam_server")
+    pv.add_argument("--small", action="store_true")
+    pv.set_defaults(fn=cmd_serve)
+    pa = sub.add_parser("agent", help="agent process (TCP, multi-process)")
+    pa.add_argument("--connect", required=True, metavar="HOST:PORT")
+    pa.add_argument("--id", type=int, default=0)
+    pa.add_argument("--frames", type=int, default=30)
+    pa.add_argument("--shared-world", action="store_true", default=True)
+    pa.add_argument("--small", action="store_true")
+    pa.set_defaults(fn=cmd_agent)
     pe = sub.add_parser("euroc", help="EuRoC sequence replay")
     pe.add_argument("--seq", required=True, help="sequence dir (contains mav0)")
     pe.add_argument("--frames", type=int, default=None)

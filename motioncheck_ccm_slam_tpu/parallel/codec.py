@@ -17,7 +17,7 @@ import numpy as np
 from ..utils import native
 from . import comm as comm_mod
 
-VERSION = 1
+VERSION = 2
 
 
 def _w_arr(buf: io.BytesIO, arr: np.ndarray, dtype):
@@ -42,8 +42,8 @@ def encode(msg: comm_mod.MapMsg) -> bytes:
     buf.write(struct.pack("<IiIIII", VERSION, msg.sender_client_id,
                           len(msg.keyframes), len(msg.keyframes_red),
                           len(msg.map_points), len(msg.map_points_red)))
-    buf.write(struct.pack("<qqq", msg.weak_ack_kf, msg.weak_ack_mp,
-                          msg.closest_kf_id))
+    buf.write(struct.pack("<qqqB", msg.weak_ack_kf, msg.weak_ack_mp,
+                          msg.closest_kf_id, int(msg.agent_done)))
     _w_arr(buf, np.asarray(msg.acks_kf, np.int64), np.int64)
     _w_arr(buf, np.asarray(msg.acks_mp, np.int64), np.int64)
     for k in msg.keyframes:
@@ -80,13 +80,13 @@ def decode(payload: bytes) -> comm_mod.MapMsg:
     off += struct.calcsize("<IiIIII")
     if version != VERSION:
         raise ValueError(f"codec version mismatch: {version}")
-    wak, wam, closest = struct.unpack_from("<qqq", mv, off)
-    off += struct.calcsize("<qqq")
+    wak, wam, closest, done = struct.unpack_from("<qqqB", mv, off)
+    off += struct.calcsize("<qqqB")
     acks_kf, off = _r_arr(mv, off, np.int64)
     acks_mp, off = _r_arr(mv, off, np.int64)
     msg = comm_mod.MapMsg(
         sender_client_id=sender, weak_ack_kf=wak, weak_ack_mp=wam,
-        closest_kf_id=closest,
+        closest_kf_id=closest, agent_done=bool(done),
         acks_kf=[int(x) for x in acks_kf],
         acks_mp=[int(x) for x in acks_mp],
     )

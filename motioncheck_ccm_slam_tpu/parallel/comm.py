@@ -105,6 +105,11 @@ class MapMsg:
     weak_ack_kf: int = -1
     weak_ack_mp: int = -1
     closest_kf_id: int = -1
+    # explicit end-of-stream marker for multi-process runs (the reference's
+    # only signal is ~30 s of empty messages, Communicator.cpp:465-496; over
+    # real networks with slow agents that heuristic misfires, so agents also
+    # say goodbye explicitly)
+    agent_done: bool = False
 
     @property
     def empty(self) -> bool:
@@ -136,6 +141,10 @@ class Channel:
             return self.to_server.get_nowait()
         except queue.Empty:
             return None
+
+    def pending_to_server(self) -> bool:
+        """Unconsumed agent data (drives INTERRUPTBA)."""
+        return not self.to_server.empty()
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +378,14 @@ class ClientComm:
         self.channel.client_send(out)
         self.n_published += 1
 
+    def send_goodbye(self):
+        """Explicit end-of-stream (multi-process runs): the server arms
+        FINALBA for this agent immediately instead of waiting out the idle
+        heuristic."""
+        self.channel.client_send(
+            MapMsg(sender_client_id=self.client_id, agent_done=True)
+        )
+
 
 # ---------------------------------------------------------------------------
 # Server side
@@ -399,6 +416,8 @@ class ServerComm:
     # the client's current reference KF (reference Map.msg mClosestKfId):
     # centers the vicinity window the server ships back
     closest_kf_id: int = -1
+    # the agent sent an explicit goodbye (multi-process end-of-stream)
+    agent_said_done: bool = False
 
     def _resolve_kf(self, kf_id: int) -> Optional[int]:
         return self.map.kf_slot_by_id.get((kf_id, self.client_id))
@@ -515,6 +534,8 @@ class ServerComm:
                 break
             incoming.append(msg)
         any_payload = any(not msg.empty for msg in incoming)
+        if any(msg.agent_done for msg in incoming):
+            self.agent_said_done = True
         if any_payload:
             self.idle_cycles = 0
             self.got_data = True
@@ -665,8 +686,11 @@ class ServerComm:
 
     @property
     def agent_finished(self) -> bool:
-        """FINALBA idle heuristic, in cycles (the runner maps cycles to
-        wall-clock; reference uses ~30 s of empty messages)."""
+        """FINALBA arming: explicit goodbye, or the idle heuristic in cycles
+        (the runner maps cycles to wall-clock; reference uses ~30 s of empty
+        messages)."""
+        if self.agent_said_done and not self.channel.pending_to_server():
+            return True
         cycles = max(
             1, int(self.config.comm.final_ba_idle_s
                    * self.config.comm.client_pub_freq_hz)

@@ -113,6 +113,9 @@ class ServerTransport:
             except queue.Empty:
                 return None
 
+        def pending_to_server(self) -> bool:
+            return not self.inbox.empty()
+
     def __init__(self, host: str = "0.0.0.0", port: int = 0):
         self.listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)

@@ -91,7 +91,7 @@ class ServerClientHandler:
         running GBA (reference Communicator.cpp:453-462)."""
         if not self.config.comm.interrupt_gba_on_input:
             return None
-        return lambda: not self.channel.to_server.empty()
+        return lambda: self.channel.pending_to_server()
 
     def spin(self) -> List[int]:
         """One server cycle for this agent: the server mapping pipeline per
@@ -242,7 +242,7 @@ class ServerSystem:
     # ------------------------------------------------------------------
     def _fresh_data_for(self, map_obj) -> bool:
         return any(
-            not h.channel.to_server.empty()
+            h.channel.pending_to_server()
             for h in self.handlers.values() if h.map is map_obj
         )
 

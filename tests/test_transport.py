@@ -119,3 +119,31 @@ def test_tcp_transport_roundtrip():
     assert got2.acks_kf == [10, 11]
     client.close()
     server.close()
+
+
+def test_agent_done_roundtrip_and_finalba_arming():
+    """The explicit end-of-stream flag survives the wire and arms FINALBA
+    immediately (the multi-process replacement for the 30s idle heuristic)."""
+    from motioncheck_ccm_slam_tpu.config import Config
+
+    msg = comm_mod.MapMsg(sender_client_id=0, agent_done=True)
+    out = codec.decode(codec.encode(msg))
+    assert out.agent_done is True
+    assert codec.decode(codec.encode(make_msg())).agent_done is False
+
+    # channel-level: goodbye marks the server comm finished without idling
+    from motioncheck_ccm_slam_tpu.models import map_state as ms
+    from motioncheck_ccm_slam_tpu.system.server import ServerClientHandler
+
+    cfg = Config()
+    ch = comm_mod.Channel()
+    h = ServerClientHandler(
+        config=cfg, client_id=0,
+        map=ms.MapState.create(cfg.replace(), server=False), channel=ch,
+    )
+    assert not h.comm.agent_finished
+    client = comm_mod.ClientComm(config=cfg, channel=ch, client_id=0)
+    client.send_goodbye()
+    h.comm.tick()
+    assert h.comm.agent_said_done
+    assert h.comm.agent_finished
