@@ -128,6 +128,10 @@ def cmd_synth(args):
 
     t0 = time.time()
     server, clients = _build_system(config, args.agents)
+    if getattr(args, "load_map", None):
+        hid = server.add_loaded_map(args.load_map)
+        print(f"mounted prior map as handler {hid}: {args.load_map} "
+              f"({server.handlers[hid].map.n_kfs} KFs)")
     scenes = [
         SynthScene(config, n_points=700, seed=3 + (0 if args.shared_world
                                                    else cid), speed=0.9)
@@ -162,6 +166,9 @@ def cmd_synth(args):
                     views[f"server{cid}"] = h.map
             live.update(views)
     stats = _finish(server, clients, args.out, t0)
+    if getattr(args, "save_map", None):
+        paths = server.save_maps(args.save_map)
+        print(f"saved {len(paths)} map(s) to {args.save_map}")
     # ATE vs the synthetic ground truth — the accuracy stand-in for EuRoC
     # replay (the dataset is absent here; the evaluation machinery is the
     # same Sim3-aligned ATE used by 'cli euroc')
@@ -363,6 +370,10 @@ def main():
                     help="reduced feature/capacity preset for CPU smoke runs")
     ps.add_argument("--live", type=int, default=None, metavar="PORT",
                     help="serve a live 3D map view on this port (0 = auto)")
+    ps.add_argument("--save-map", default=None, metavar="DIR",
+                    help="persist final server map(s) (ccmslam_savemap)")
+    ps.add_argument("--load-map", default=None, metavar="NPZ",
+                    help="preload a saved map for agent 0 (LoadMap param)")
     ps.set_defaults(fn=cmd_synth)
     pv = sub.add_parser("serve", help="server process (TCP, multi-process)")
     pv.add_argument("--host", default="127.0.0.1")

@@ -278,6 +278,63 @@ class ServerSystem:
         return True
 
     # ------------------------------------------------------------------
+    def save_maps(self, out_dir: str) -> List[str]:
+        """Persist every distinct map (the reference's ccmslam_savemap
+        service, src/server/ServerSystem.cpp:36,63-79)."""
+        import os
+
+        from .. import persistence
+
+        os.makedirs(out_dir, exist_ok=True)
+        seen, paths = set(), []
+        for cid, h in sorted(self.handlers.items()):
+            if id(h.map) in seen:
+                continue
+            seen.add(id(h.map))
+            path = os.path.join(out_dir, f"map_{cid}.npz")
+            persistence.save_map(h.map, path)
+            paths.append(path)
+        return paths
+
+    def add_loaded_map(self, path: str) -> int:
+        """Mount a previously saved map as a PRIOR map under its own handler
+        slot (the reference's LoadMap launch param mounts a saved map for a
+        dedicated client slot, src/server/ServerSystem.cpp:96-116); live
+        agents can then place-recognize against it and merge into it.
+        Returns the handler id."""
+        from .. import persistence
+
+        hid = max(self.handlers) + 1 if self.handlers else 0
+        m = persistence.load_map(path, self.config)
+        # the loaded entities move into the handler's fresh client-id
+        # namespace so they can never collide with a live agent's ids (the
+        # reference reserves client slot 0 for the load and streams live
+        # agents on other ids)
+        import jax.numpy as jnp
+        m.kf = m.kf._replace(client_id=jnp.where(m.kf.valid, hid,
+                                                 m.kf.client_id))
+        m.mp = m.mp._replace(client_id=jnp.where(m.mp.valid, hid,
+                                                 m.mp.client_id))
+        m.sync_host_index()
+        h = ServerClientHandler(
+            config=self.config, client_id=hid, map=m,
+            channel=comm_mod.Channel(), vocab=self.vocab,
+        )
+        # nothing will ever stream on this handler: mark it finished so it
+        # doesn't block FINALBA, and its landmarks probation-exempt
+        h.comm.agent_said_done = True
+        h.mp_tick = np.where(np.asarray(m.mp.valid), -2, -1).astype(np.int32)
+        self.handlers[hid] = h
+        self.channels[hid] = h.channel
+        self.matcher.maps[hid] = m
+        for (kf_id, cid), slot in sorted(m.kf_slot_by_id.items()):
+            self.matcher.add_keyframe(hid, slot)
+            h.loop_closer.database.add(
+                slot, m.kf.desc[slot], m.kf.feat_valid[slot], map_id=hid
+            )
+        return hid
+
+    # ------------------------------------------------------------------
     def trajectories_tum(self) -> Dict[int, str]:
         """Per-agent keyframe trajectories (reference WriteStateToCsv)."""
         from ..utils import csv_io
