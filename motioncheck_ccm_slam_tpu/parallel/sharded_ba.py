@@ -47,22 +47,23 @@ def _pad_obs(obs: ba_core.BAObservations, n_dev: int) -> ba_core.BAObservations:
     )
 
 
-def _schur_matvec(v, Hcc_d, Hll_inv, Wcl, cam_idx, lm_idx, C, L, reduce):
+def _schur_matvec(v, Hcc_d, Hll_inv, Wcl, cam_idx, lm_idx, C, L, reduce,
+                  cam_plan=None, lm_plan=None):
     """S @ v for the reduced camera system, on the local obs shard + psum.
 
     v: (C, 6) replicated. Wcl: (O_local, 6, 3). ``reduce`` is a psum over
     the mesh's obs axis, or identity when running unsharded on one chip.
+    With segment plans, the per-entity reductions are gathers instead of
+    scatter-adds (TPU scatters on 2M random indices serialized this loop).
     """
     Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
     # u_l = sum_obs Wcl^T v[cam]  -> (L, 3)
     wtv = jnp.einsum("oij,oi->oj", Wcl, v[cam_idx])
-    u = jnp.zeros((L, 3), v.dtype).at[lm_idx].add(wtv)
-    u = reduce(u)
+    u = reduce(ba_core._seg_or_scatter(lm_plan, lm_idx, wtv, L))
     u = jnp.einsum("lij,lj->li", Hll_inv, u)
     # w_c = sum_obs Wcl u[lm]    -> (C, 6)
     wu = jnp.einsum("oij,oj->oi", Wcl, u[lm_idx])
-    w = jnp.zeros((C, 6), v.dtype).at[cam_idx].add(wu)
-    w = reduce(w)
+    w = reduce(ba_core._seg_or_scatter(cam_plan, cam_idx, wu, C))
     return Hv - w
 
 
@@ -97,7 +98,8 @@ def _pcg(matvec, b, M_inv_blocks, iters: int):
 
 
 def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
-                   fixed_lm, C, L, pcg_iters, reduce):
+                   fixed_lm, C, L, pcg_iters, reduce,
+                   cam_plan=None, lm_plan=None):
     Tcw, Xw, lam = state
     r, pc, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs_shard, K)
     w, chi2 = ba_core.robust_obs_weights(r, obs_shard, depth_ok)
@@ -105,7 +107,8 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
     Rm = Tcw[obs_shard.cam_idx][:, :3, :3]
     Jc, Jl = ba_core.reproject_jacobians(pc, Rm, K)
     Hcc, bc, Hll, bl, Wcl = ba_core.assemble_blocks(
-        Jc, Jl, r, w, obs_shard.cam_idx, obs_shard.lm_idx, C, L
+        Jc, Jl, r, w, obs_shard.cam_idx, obs_shard.lm_idx, C, L,
+        cam_plan=cam_plan, lm_plan=lm_plan,
     )
     Hcc = reduce(Hcc)
     bc = reduce(bc)
@@ -131,15 +134,13 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
     # reduced RHS: br = bc - W Hll^-1 bl
     u = jnp.einsum("lij,lj->li", Hll_inv, bl)
     wu = jnp.einsum("oij,oj->oi", Wcl, u[obs_shard.lm_idx])
-    Wu = reduce(
-        jnp.zeros((C, 6), bc.dtype).at[obs_shard.cam_idx].add(wu)
-    )
+    Wu = reduce(ba_core._seg_or_scatter(cam_plan, obs_shard.cam_idx, wu, C))
     br = bc - Wu
 
     matvec = functools.partial(
         _schur_matvec, Hcc_d=Hcc_d, Hll_inv=Hll_inv, Wcl=Wcl,
         cam_idx=obs_shard.cam_idx, lm_idx=obs_shard.lm_idx, C=C, L=L,
-        reduce=reduce,
+        reduce=reduce, cam_plan=cam_plan, lm_plan=lm_plan,
     )
     M_inv = jnp.linalg.inv(Hcc_d + 1e-6 * eye6[None])
     dc = _pcg(matvec, br, M_inv, pcg_iters)
@@ -147,7 +148,7 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
     # back-substitute landmarks: dl = Hll^-1 (bl - W^T dc)
     wtv = jnp.einsum("oij,oi->oj", Wcl, dc[obs_shard.cam_idx])
     Wt_dc = reduce(
-        jnp.zeros((L, 3), bl.dtype).at[obs_shard.lm_idx].add(wtv)
+        ba_core._seg_or_scatter(lm_plan, obs_shard.lm_idx, wtv, L)
     )
     dl = jnp.einsum("lij,lj->li", Hll_inv, bl - Wt_dc)
     dl = jnp.where(fixed_lm[:, None], 0.0, dl)
@@ -167,7 +168,7 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
 
 def _gba_body(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
               cam_idx, lm_idx, uv, inv_sigma2, valid,
-              pcg_iters, reduce):
+              pcg_iters, reduce, cam_plan=None, lm_plan=None):
     """n_iters LM iterations + final inlier classification on the (local)
     observation set. ``n_iters`` is a traced scalar — chunked callers vary
     it without recompiling."""
@@ -180,7 +181,8 @@ def _gba_body(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
 
     def it(_, st):
         st, _cost = _gba_iteration(
-            st, obs_shard, K, fixed_cam, fixed_lm, C, L, pcg_iters, reduce
+            st, obs_shard, K, fixed_cam, fixed_lm, C, L, pcg_iters, reduce,
+            cam_plan=cam_plan, lm_plan=lm_plan,
         )
         return st
 
@@ -239,22 +241,137 @@ def make_sharded_gba(mesh: Mesh, iterations: int = 5, pcg_iters: int = 25):
     return gba
 
 
+def _gba_iteration_sorted(state, obs: ba_core.BAObservations, K, fixed_cam,
+                          fixed_lm, C, L, pcg_iters, cam_seg: int,
+                          lm_order, lm_bounds, cam_idx_sorted, lm_idx):
+    """One LM iteration specialized for the single-chip matrix-free path:
+    camera reductions are reshape-sums (observations are camera-major
+    contiguous), landmark reductions are cumsum-at-boundaries over obs
+    pre-sorted by landmark — the PCG hot loop contains NO scatter and no
+    large gather tables (both serialized the 2M-obs GBA on TPU)."""
+    Tcw, Xw, lam = state
+    r, pc, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs, K)
+    w, chi2 = ba_core.robust_obs_weights(r, obs, depth_ok)
+    cost = _robust_cost(chi2, obs.valid)
+    Rm = Tcw[obs.cam_idx][:, :3, :3]
+    Jc, Jl = ba_core.reproject_jacobians(pc, Rm, K)
+    wJc = Jc * w[:, None, None]
+    wJl = Jl * w[:, None, None]
+
+    def cam_sum(x):
+        return x.reshape((C, cam_seg) + x.shape[1:]).sum(1)
+
+    def lm_sum_sorted(x_sorted):
+        return ba_core.sorted_seg_sum(x_sorted, lm_bounds)
+
+    Hcc = cam_sum(jnp.einsum("oic,oid->ocd", wJc, Jc))
+    bc = cam_sum(-jnp.einsum("oic,oi->oc", wJc, r))
+    Hll = lm_sum_sorted(jnp.einsum("oic,oid->ocd", wJl, Jl)[lm_order])
+    bl = lm_sum_sorted(-jnp.einsum("oic,oi->oc", wJl, r)[lm_order])
+    Wcl = jnp.einsum("oic,oid->ocd", wJc, Jl)      # (O, 6, 3) cam order
+
+    Hcc_d = ba_core.damp_blocks(Hcc, lam)
+    Hll_d = ba_core.damp_blocks(Hll, lam)
+    eye6 = jnp.eye(6, dtype=Hcc.dtype)
+    Hcc_d = jnp.where(fixed_cam[:, None, None], eye6[None], Hcc_d)
+    bc = jnp.where(fixed_cam[:, None], 0.0, bc)
+    Hll_d = jnp.where(
+        fixed_lm[:, None, None], jnp.eye(3, dtype=Hll.dtype)[None], Hll_d
+    )
+    bl = jnp.where(fixed_lm[:, None], 0.0, bl)
+    Wcl = jnp.where(
+        fixed_cam[obs.cam_idx][:, None, None]
+        | fixed_lm[lm_idx][:, None, None],
+        0.0, Wcl,
+    )
+    Hll_inv = ba_core.inv33(Hll_d)
+    Wcl_lm = Wcl[lm_order]                          # (O, 6, 3) lm order
+
+    # reduced RHS: br = bc - W Hll^-1 bl
+    u0 = jnp.einsum("lij,lj->li", Hll_inv, bl)
+    br = bc - cam_sum(jnp.einsum("oij,oj->oi", Wcl, u0[lm_idx]))
+
+    def matvec(v):
+        Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+        wtv = jnp.einsum("oij,oi->oj", Wcl_lm, v[cam_idx_sorted])
+        u = jnp.einsum("lij,lj->li", Hll_inv, lm_sum_sorted(wtv))
+        w_ = cam_sum(jnp.einsum("oij,oj->oi", Wcl, u[lm_idx]))
+        return Hv - w_
+
+    M_inv = jnp.linalg.inv(Hcc_d + 1e-6 * eye6[None])
+    dc = _pcg(matvec, br, M_inv, pcg_iters)
+    dc = jnp.where(fixed_cam[:, None], 0.0, dc)
+    # back-substitute landmarks: dl = Hll^-1 (bl - W^T dc)
+    wtv = jnp.einsum("oij,oi->oj", Wcl_lm, dc[cam_idx_sorted])
+    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - lm_sum_sorted(wtv))
+    dl = jnp.where(fixed_lm[:, None], 0.0, dl)
+
+    T_new = ba_core.apply_pose_update(Tcw, dc, mask=~fixed_cam)
+    X_new = Xw + dl
+    r2, _, _ = ba_core.reproject_residuals(T_new, X_new, obs, K)
+    chi2_new = jnp.sum(r2 * r2, -1) * obs.inv_sigma2
+    cost_new = _robust_cost(chi2_new, obs.valid)
+    accept = cost_new < cost
+    Tcw = jnp.where(accept, T_new, Tcw)
+    Xw = jnp.where(accept, X_new, Xw)
+    lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8),
+                    jnp.minimum(lam * 4.0, 1e4))
+    return (Tcw, Xw, lam), cost_new
+
+
 def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
     """Single-chip matrix-free GBA: the same LM/PCG body as the sharded
     solver, without collectives. This is what ``run_gba`` picks when the
     dense-W Schur solve would not fit (server operating point: 2048 KFs x
-    65k MPs would need a ~9.7 GB dense W — reference scale, one chip)."""
+    65k MPs would need a ~9.7 GB dense W — reference scale, one chip).
 
-    body = jax.jit(functools.partial(
-        _gba_body, pcg_iters=pcg_iters, reduce=lambda x: x,
-    ))
+    Segment-gather plans (built on host once per problem, cached by obs
+    identity) replace every per-entity scatter-add: at 2M observations TPU
+    scatter serialization dominated the PCG loop (measured ~5x)."""
+
+    bodies = {}
+    _dummy_t = jnp.zeros((1, 1), jnp.int32)
+    _dummy_m = jnp.zeros((1, 1), bool)
+
+    def _get_body(cam_seg: int, lm_seg: int):
+        key = (cam_seg, lm_seg)
+        if key not in bodies:
+            def body_fn(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
+                        cam_idx, lm_idx, uv, inv_sigma2, valid,
+                        cam_table, cam_mask, lm_table, lm_mask):
+                return _gba_body(
+                    Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
+                    cam_idx, lm_idx, uv, inv_sigma2, valid,
+                    pcg_iters, lambda x: x,
+                    cam_plan=ba_core.SegmentPlan(cam_table, cam_mask,
+                                                 cam_seg),
+                    lm_plan=ba_core.SegmentPlan(lm_table, lm_mask, lm_seg),
+                )
+            bodies[key] = jax.jit(body_fn)
+        return bodies[key]
+
+    plan_cache = {}
 
     def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
             n_iterations=None):
         n_it = jnp.int32(iterations if n_iterations is None else n_iterations)
+        C, L = Tcw.shape[0], Xw.shape[0]
+        key = (id(obs.cam_idx), id(obs.lm_idx), C, L)
+        if key not in plan_cache:
+            plan_cache.clear()   # one live problem at a time
+            plan_cache[key] = (
+                ba_core.build_segment_plan(np.asarray(obs.cam_idx), C),
+                ba_core.build_segment_plan(np.asarray(obs.lm_idx), L),
+            )
+        cam_plan, lm_plan = plan_cache[key]
+        body = _get_body(cam_plan.seg_size, lm_plan.seg_size)
         Tcw_o, Xw_o, inlier, cost = body(
             Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
             obs.cam_idx, obs.lm_idx, obs.uv, obs.inv_sigma2, obs.valid,
+            cam_plan.table if cam_plan.table is not None else _dummy_t,
+            cam_plan.mask if cam_plan.mask is not None else _dummy_m,
+            lm_plan.table if lm_plan.table is not None else _dummy_t,
+            lm_plan.mask if lm_plan.mask is not None else _dummy_m,
         )
         return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
 

@@ -27,10 +27,11 @@ Tcw <- exp(xi) @ Tcw (matches ops/lie.py).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import lie
 
@@ -114,8 +115,98 @@ def robust_obs_weights(r, obs: BAObservations, depth_ok, extra_mask=None):
     return jnp.where(m, w, 0.0), chi2
 
 
-def assemble_blocks(Jc, Jl, r, w, cam_idx, lm_idx, C: int, L: int):
-    """Per-entity Hessian blocks and gradients by segment-sum.
+class SegmentPlan(NamedTuple):
+    """Gather-based segment reduction: for segment ids ``idx (O,)`` over N
+    segments, ``table[n, k]`` lists the observation positions of segment n
+    (padded). ``seg_sum(plan, x)`` then replaces a
+    ``zeros(N).at[idx].add(x)`` scatter with a gather + masked sum — TPU
+    scatters serialize on random indices and dominated the matrix-free PCG
+    (measured ~5x end-to-end on the 2M-obs GBA), gathers vectorize.
+
+    When the ids are exactly ``repeat(arange(N), k)`` (observations built
+    from the (NK, F) association table are camera-major contiguous), the
+    reduction degenerates to a reshape-sum: ``table``/``mask`` are None and
+    ``seg_size`` holds k — zero gather memory."""
+
+    table: Optional[jax.Array]   # (N, Kmax) i32 observation positions
+    mask: Optional[jax.Array]    # (N, Kmax) bool
+    seg_size: int = 0            # contiguous fast path when > 0
+
+
+def build_segment_plan(idx: np.ndarray, n: int) -> SegmentPlan:
+    """Host-side plan construction (once per problem, amortized over all LM
+    and PCG iterations)."""
+    idx = np.asarray(idx, np.int64)
+    if len(idx) and len(idx) % n == 0:
+        k = len(idx) // n
+        if (idx == np.repeat(np.arange(n, dtype=np.int64), k)).all():
+            return SegmentPlan(None, None, seg_size=k)
+    order = np.argsort(idx, kind="stable")
+    counts = np.bincount(idx, minlength=n)
+    kmax = max(int(counts.max()) if len(idx) else 1, 1)
+    starts = np.zeros(n + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    pos_in_seg = np.arange(len(idx), dtype=np.int64) - starts[idx[order]]
+    table = np.zeros((n, kmax), np.int32)
+    mask = np.zeros((n, kmax), bool)
+    table[idx[order], pos_in_seg] = order
+    mask[idx[order], pos_in_seg] = True
+    return SegmentPlan(jnp.asarray(table), jnp.asarray(mask))
+
+
+def seg_sum(plan: SegmentPlan, x):
+    """(O, ...) -> (N, ...) segment sum via the plan's gather tables (or a
+    straight reshape-sum on contiguous segments)."""
+    if plan.seg_size:
+        k = plan.seg_size
+        return x.reshape((x.shape[0] // k, k) + x.shape[1:]).sum(1)
+    g = x[plan.table]
+    m = plan.mask.reshape(plan.mask.shape + (1,) * (x.ndim - 1))
+    return jnp.where(m, g, 0).sum(1)
+
+
+def _seg_or_scatter(plan, idx, x, n):
+    if plan is not None:
+        return seg_sum(plan, x)
+    return jnp.zeros((n,) + x.shape[1:], x.dtype).at[idx].add(x)
+
+
+class SortedSegments(NamedTuple):
+    """Segment reduction over observations PRE-SORTED by segment id:
+    ``order`` permutes obs into sorted order once per LM iteration (medium
+    gather); the per-PCG-sweep reduction is then a parallel-prefix cumsum +
+    a boundary gather of only N rows — no (N, Kmax) gather tables in the
+    hot loop. jnp.cumsum's parallel scan keeps f32 error at
+    ~log2(O)*eps (~2.5e-6 relative at 2M obs)."""
+
+    order: jax.Array    # (O,) i32 permutation sorting obs by segment id
+    bounds: jax.Array   # (N+1,) i32 segment boundaries in sorted order
+
+
+def build_sorted_segments(idx: np.ndarray, n: int) -> SortedSegments:
+    idx = np.asarray(idx, np.int64)
+    order = np.argsort(idx, kind="stable")
+    counts = np.bincount(idx, minlength=n)
+    bounds = np.zeros(n + 1, np.int64)
+    bounds[1:] = np.cumsum(counts)
+    return SortedSegments(
+        order=jnp.asarray(order.astype(np.int32)),
+        bounds=jnp.asarray(bounds.astype(np.int32)),
+    )
+
+
+def sorted_seg_sum(x_sorted, bounds):
+    """(O, ...) sorted by segment -> (N, ...) via cumsum + boundary diff."""
+    cs = jnp.cumsum(x_sorted, 0)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], 0)
+    return cs[bounds[1:]] - cs[bounds[:-1]]
+
+
+def assemble_blocks(Jc, Jl, r, w, cam_idx, lm_idx, C: int, L: int,
+                    cam_plan: SegmentPlan = None,
+                    lm_plan: SegmentPlan = None):
+    """Per-entity Hessian blocks and gradients by segment-sum (gather-based
+    when plans are given, scatter-add otherwise).
 
     Returns:
       Hcc (C, 6, 6), bc (C, 6)  — camera diagonal blocks & gradient
@@ -124,19 +215,15 @@ def assemble_blocks(Jc, Jl, r, w, cam_idx, lm_idx, C: int, L: int):
     """
     wJc = Jc * w[:, None, None]
     wJl = Jl * w[:, None, None]
-    Hcc = jnp.zeros((C, 6, 6), Jc.dtype).at[cam_idx].add(
-        jnp.einsum("oic,oid->ocd", wJc, Jc)
-    )
-    Hll = jnp.zeros((L, 3, 3), Jl.dtype).at[lm_idx].add(
-        jnp.einsum("oic,oid->ocd", wJl, Jl)
-    )
+    Hcc = _seg_or_scatter(cam_plan, cam_idx,
+                          jnp.einsum("oic,oid->ocd", wJc, Jc), C)
+    Hll = _seg_or_scatter(lm_plan, lm_idx,
+                          jnp.einsum("oic,oid->ocd", wJl, Jl), L)
     # gradient of 0.5 r^T W r wrt params: b = -J^T W r (we solve H dx = b)
-    bc = jnp.zeros((C, 6), Jc.dtype).at[cam_idx].add(
-        -jnp.einsum("oic,oi->oc", wJc, r)
-    )
-    bl = jnp.zeros((L, 3), Jl.dtype).at[lm_idx].add(
-        -jnp.einsum("oic,oi->oc", wJl, r)
-    )
+    bc = _seg_or_scatter(cam_plan, cam_idx,
+                         -jnp.einsum("oic,oi->oc", wJc, r), C)
+    bl = _seg_or_scatter(lm_plan, lm_idx,
+                         -jnp.einsum("oic,oi->oc", wJl, r), L)
     Wcl = jnp.einsum("oic,oid->ocd", wJc, Jl)  # (O, 6, 3)
     return Hcc, bc, Hll, bl, Wcl
 
