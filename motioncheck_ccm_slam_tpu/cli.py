@@ -363,7 +363,8 @@ def main():
     ps.add_argument("--agents", type=int, default=1)
     ps.add_argument("--frames", type=int, default=30)
     ps.add_argument("--out", default="/tmp/mcslam_synth")
-    ps.add_argument("--shared-world", action="store_true", default=True)
+    ps.add_argument("--shared-world", action=argparse.BooleanOptionalAction,
+                    default=True)
     ps.add_argument("--blackout", default=None, metavar="A:B",
                     help="zero out frames [A, B) to force tracking loss")
     ps.add_argument("--small", action="store_true",
@@ -387,7 +388,8 @@ def main():
     pa.add_argument("--connect", required=True, metavar="HOST:PORT")
     pa.add_argument("--id", type=int, default=0)
     pa.add_argument("--frames", type=int, default=30)
-    pa.add_argument("--shared-world", action="store_true", default=True)
+    pa.add_argument("--shared-world", action=argparse.BooleanOptionalAction,
+                    default=True)
     pa.add_argument("--small", action="store_true")
     pa.set_defaults(fn=cmd_agent)
     pe = sub.add_parser("euroc", help="EuRoC sequence replay")

@@ -90,6 +90,19 @@ class KeyFrameDatabase:
         self._pending = [p for p in self._pending if p[0] != slot]
         self.present = self.present.at[slot].set(False)
 
+    def erase_many(self, slots):
+        """Batched erase (reference KeyFrameDatabase::erase is called for
+        every culled / Motion-Check-deleted KF — src/KeyFrame.cpp:850,1171,
+        src/Database.cpp:45). One scatter, not one device op per slot."""
+        slots = np.asarray(slots, np.int64)
+        if len(slots) == 0:
+            return
+        drop = set(int(s) for s in slots)
+        self._pending = [p for p in self._pending if p[0] not in drop]
+        self.present = self.present.at[jnp.asarray(slots, jnp.int32)].set(
+            False
+        )
+
     def scores(self, query_bow):
         """(NK,) similarity of a query BoW against every stored KF."""
         self._flush()

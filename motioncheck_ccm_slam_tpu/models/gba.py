@@ -49,11 +49,35 @@ _matrix_free_cache: dict = {}
 
 
 def _pick_solver(C: int, L: int, pcg_iters: int = 25):
-    """None -> dense-W local_ba path; else a matrix-free solver callable."""
-    if 6 * C * 3 * L * 4 <= DENSE_W_MAX_BYTES:
-        return None
+    """Solver selection for the product GBA path.
+
+    Multi-device (any mesh — a pod slice, a host board, or a virtual CPU
+    mesh): route through the mesh-sharded matrix-free solver with the
+    observations partitioned across the 1-D ``obs`` axis — the TPU-native
+    analog of the reference's OpenMP-parallel MapFusionGBA
+    (src/Optimizer.cpp:646, optimizer.initMultiThreading :792). Zero
+    configuration: ``jax.devices()`` decides.
+
+    Single device: None -> dense-W local_ba path when the dense Schur
+    complement fits; else the single-chip matrix-free solver.
+    """
+    import jax
+
     from ..parallel import sharded_ba
 
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        key = ("mesh", n_dev, pcg_iters)
+        if key not in _matrix_free_cache:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()), (sharded_ba.AXIS,))
+            _matrix_free_cache[key] = sharded_ba.make_sharded_gba(
+                mesh, pcg_iters=pcg_iters
+            )
+        return _matrix_free_cache[key]
+    if 6 * C * 3 * L * 4 <= DENSE_W_MAX_BYTES:
+        return None
     key = pcg_iters
     if key not in _matrix_free_cache:
         _matrix_free_cache[key] = sharded_ba.make_matrix_free_gba(
@@ -176,7 +200,12 @@ class GBAJob:
             parent = np.asarray(m.kf.parent)
             pred = np.asarray(m.kf.pred)
             Tcw_cur = np.asarray(m.kf.Tcw)
-            Tcw_opt = np.asarray(self.Tcw)
+            # host working copy, updated in place so that a mid-job KF whose
+            # nearest in-problem ancestor is ANOTHER mid-job KF corrected
+            # earlier in this loop chains off the corrected pose, not the
+            # stale pre-propagation copy
+            Tcw_opt = np.array(self.Tcw)   # writable host copy
+            updated = []
             # nearest in-problem ancestor through parent (pred fallback)
             for s in sorted(new_kfs, key=lambda s: np.asarray(m.kf.kf_id)[s]):
                 anc = parent[s] if parent[s] >= 0 else pred[s]
@@ -187,9 +216,14 @@ class GBAJob:
                 if anc < 0 or not self.kf_in[anc]:
                     continue  # disconnected: leave untouched
                 T_rel = Tcw_cur[s] @ np.linalg.inv(Tcw_cur[anc])
-                T_new = (T_rel @ Tcw_opt[anc]).astype(np.float32)
-                self.Tcw = self.Tcw.at[int(s)].set(jnp.asarray(T_new))
+                Tcw_opt[s] = (T_rel @ Tcw_opt[anc]).astype(np.float32)
                 self.kf_in[s] = True  # now carries an optimized-frame pose
+                updated.append(int(s))
+            if updated:
+                idx = np.asarray(updated, np.int32)
+                self.Tcw = self.Tcw.at[jnp.asarray(idx)].set(
+                    jnp.asarray(Tcw_opt[idx])
+                )
         mp_valid_now = np.asarray(m.mp.valid)
         new_mps = np.flatnonzero(mp_valid_now & ~self.mp_in)
         if len(new_mps):

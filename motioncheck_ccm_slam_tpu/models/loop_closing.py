@@ -27,6 +27,69 @@ from . import gba as gba_mod
 from . import map_state as ms
 
 
+def kf_landmark_side(kf, mp, slot):
+    """Per-feature landmark view of one keyframe for Sim3-guided matching:
+    descriptors, camera-frame landmark coords, uv, octave, landmark slots,
+    and validity (feature valid, associated, landmark alive)."""
+    idx = np.asarray(kf.mp_idx[slot])
+    nm = mp.Xw.shape[0]
+    safe = np.clip(idx, 0, nm - 1)
+    valid = (np.asarray(kf.feat_valid[slot]) & (idx >= 0)
+             & np.asarray(mp.valid)[safe])
+    Xw = mp.Xw[jnp.asarray(safe.astype(np.int32))]
+    Xc = lie.transform_points(kf.Tcw[slot], Xw[None])[0]
+    return {
+        "desc": kf.desc[slot], "Xc": Xc, "valid": jnp.asarray(valid),
+        "uv": kf.xy[slot], "octave": kf.octave[slot], "mp": idx,
+    }
+
+
+def sim3_guided_refine(side1, side2, S12_cam, feat1, feat2, inliers,
+                       config: Config, K, radius: float = 7.5):
+    """Sim3-guided correspondence harvest + joint re-optimization (reference
+    ComputeSim3's second stage: matcher.SearchBySim3 with radius 7.5 then
+    OptimizeSim3 over the union — src/LoopFinder.cpp:326-345,
+    src/MapMatcher.cpp:330-345).
+
+    side1/side2: outputs of :func:`kf_landmark_side`. ``S12_cam`` maps
+    camera-2 coords into camera 1. feat1/feat2/inliers: the RANSAC stage's
+    matched feature pairs + inlier mask. Returns
+    (Sim3OptResult, union_feat1, union_feat2, union_mp1, union_mp2).
+    """
+    guided = matching.search_by_sim3(
+        side1["desc"], side1["Xc"], side1["valid"],
+        side2["desc"], side2["Xc"], side2["valid"],
+        jnp.asarray(S12_cam), K, radius=radius,
+    )
+    g_ok = np.asarray(guided.ok)
+    g_idx = np.asarray(guided.idx)
+    have1 = np.zeros(g_ok.shape[0], bool)
+    have1[feat1] = True
+    have2 = np.zeros(np.asarray(side2["valid"]).shape[0], bool)
+    have2[feat2] = True
+    add1 = np.flatnonzero(g_ok & ~have1 & ~have2[g_idx])
+    add2 = g_idx[add1]
+    u1 = np.concatenate([feat1, add1])
+    u2 = np.concatenate([feat2, add2])
+    active0 = np.concatenate([np.asarray(inliers, bool),
+                              np.ones(len(add1), bool)])
+    j1 = jnp.asarray(u1.astype(np.int32))
+    j2 = jnp.asarray(u2.astype(np.int32))
+    from ..ops import orb as orb_mod
+
+    inv_s2 = jnp.asarray(orb_mod.inv_level_sigma2(config.extractor))
+    nlev = config.extractor.n_levels - 1
+    opt = sim3_opt.optimize_sim3(
+        jnp.asarray(S12_cam),
+        side1["Xc"][j1], side2["Xc"][j2],
+        side1["uv"][j1], side2["uv"][j2],
+        inv_s2[jnp.clip(side1["octave"][j1], 0, nlev)],
+        inv_s2[jnp.clip(side2["octave"][j2], 0, nlev)],
+        jnp.asarray(active0), K,
+    )
+    return opt, u1, u2, side1["mp"][u1], side2["mp"][u2]
+
+
 @dataclasses.dataclass
 class LoopCloser:
     config: Config
@@ -128,26 +191,30 @@ class LoopCloser:
         K = jnp.asarray(self.config.camera.K())
         self.rng_key, sub = jax.random.split(self.rng_key)
         # RANSAC maps p2 -> p1 (S12)
+        # RANSAC needs only opt.min_inliers (reference Opt.MinInliers = 6,
+        # cslam/conf/config.yaml:127) — the strict inliers_thres gate applies
+        # AFTER Sim3-guided densification, so a marginal revisit can be
+        # rescued by guided matches (reference LoopFinder.cpp:277,326-333)
         res = ransac.sim3_ransac(
             sub, p2, p1, uv2, uv1,
             jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32), K,
             jnp.ones(len(feat1), bool),
-            min_inliers=self.config.opt.inliers_thres, fix_scale=False,
+            min_inliers=self.config.opt.min_inliers, fix_scale=False,
         )
         if not bool(res.success):
             return None
         S12 = lie.make_sim3(res.R, res.t, res.s)
-        # refine with bidirectional projection residuals
-        from ..ops import orb as orb_mod
-
-        inv_s2 = jnp.asarray(orb_mod.inv_level_sigma2(self.config.extractor))
-        oct1 = kf.octave[cur][jnp.asarray(feat1)]
-        oct2 = kf.octave[cand][jnp.asarray(feat2)]
-        opt = sim3_opt.optimize_sim3(
-            S12, p1, p2, uv1, uv2,
-            inv_s2[jnp.clip(oct1, 0, self.config.extractor.n_levels - 1)],
-            inv_s2[jnp.clip(oct2, 0, self.config.extractor.n_levels - 1)],
-            jnp.asarray(res.inliers), K,
+        # Sim3-guided harvest of additional correspondences, then refine on
+        # the union with bidirectional projection residuals (reference
+        # SearchBySim3 radius 7.5 + second OptimizeSim3,
+        # src/LoopFinder.cpp:326-345) — marginal revisits whose mutual-match
+        # inliers alone fall short are accepted when guided matches push the
+        # union over the bar
+        side1 = kf_landmark_side(kf, mp, cur)
+        side2 = kf_landmark_side(kf, mp, cand)
+        opt, feat1, feat2, mp1, mp2 = sim3_guided_refine(
+            side1, side2, S12, feat1, feat2, np.asarray(res.inliers),
+            self.config, K,
         )
         if int(opt.n_inliers) < self.config.opt.inliers_thres:
             return None

@@ -38,6 +38,15 @@ class MapMatchHit:
     # matched landmark duplicates (cur-map slot, match-map slot), RANSAC
     # inliers only — the merger collapses these (reference matchedMPs)
     mp_pairs: np.ndarray = None
+    # auxiliary confirmed hits from the same consistency chain:
+    # (slot_cur, slot_match, S_match_from_cur_k). Each carries an
+    # independently measured alignment — the merge's seam essential graph
+    # turns their disagreement with the primary alignment into correction
+    # signal (reference MergeMaps takes a vector<MapMatchHit>,
+    # src/MapMatcher.cpp:439-448)
+    aux: List[Tuple[int, int, jax.Array]] = dataclasses.field(
+        default_factory=list
+    )
 
 
 @dataclasses.dataclass
@@ -60,6 +69,11 @@ class MapMatcher:
     # list of (cand_map_id, group: set[slot-in-cand-map], count)
     consistent_groups: Dict[int, List[Tuple[int, Set[int], int]]] = \
         dataclasses.field(default_factory=dict)
+    # trailing (slot_q, cand_map_id, cand_slot) detections of the live
+    # consistency chain — on acceptance these yield auxiliary Sim3 hits
+    chain_pairs: Dict[int, List[Tuple[int, int, int]]] = \
+        dataclasses.field(default_factory=dict)
+    max_aux_hits: int = 2
 
     def __post_init__(self):
         if self.vocab is None:
@@ -116,6 +130,7 @@ class MapMatcher:
         prev_groups = self.consistent_groups.get(map_id, [])
         if len(cands) == 0:
             self.consistent_groups[map_id] = []
+            self.chain_pairs[map_id] = []
             return None
         th = self.config.placerec.covisibility_consistency_th
         new_groups: List[Tuple[int, Set[int], int]] = []
@@ -133,12 +148,30 @@ class MapMatcher:
             if best + 1 >= th and accepted is None:
                 accepted = (int(row), mid2, slot2)
         self.consistent_groups[map_id] = new_groups
+        # remember this detection's strongest candidate for aux-hit harvest
+        if len(cands):
+            mid_t, slot_t = self.key_of_row[int(cands[0])]
+            chain = self.chain_pairs.get(map_id, [])
+            chain.append((slot, mid_t, slot_t))
+            self.chain_pairs[map_id] = chain[-(self.max_aux_hits + 2):]
         if accepted is None:
             return None
         _, mid2, slot2 = accepted
         hit = self._compute_cross_sim3(map_id, slot, mid2, slot2)
         if hit is not None:
+            # harvest auxiliary alignments from the chain's earlier
+            # detections of the same foreign map — independently measured
+            # Sim3s for the merge's seam essential graph
+            for sq, mt, st in reversed(self.chain_pairs.get(map_id, [])):
+                if len(hit.aux) >= self.max_aux_hits:
+                    break
+                if mt != mid2 or (sq == slot and st == slot2):
+                    continue
+                aux = self._compute_cross_sim3(map_id, sq, mt, st)
+                if aux is not None:
+                    hit.aux.append((sq, st, aux.S_match_from_cur))
             self.consistent_groups[map_id] = []
+            self.chain_pairs[map_id] = []
         return hit
 
     # ------------------------------------------------------------------
@@ -165,18 +198,40 @@ class MapMatcher:
         self.rng_key, sub = jax.random.split(self.rng_key)
         # Sim3 on WORLD coordinates: X2w ~ S(X1w); reprojection check via the
         # two keyframes' poses
+        # RANSAC gate is opt.min_inliers (reference Opt.MinInliers = 6); the
+        # strict inliers_thres applies after Sim3-guided densification
         res = ransac.sim3_ransac(
             sub, X1w, X2w, uv1, uv2, kf1.Tcw[slot1], kf2.Tcw[slot2], K,
             jnp.ones(len(feat1), bool),
-            min_inliers=self.config.opt.inliers_thres,
+            min_inliers=self.config.opt.min_inliers,
         )
         if not bool(res.success):
             return None
-        S = lie.make_sim3(res.R, res.t, res.s)
-        inl = np.asarray(res.inliers)
-        pairs = np.stack([mp1[inl], mp2[inl]], -1)
+        S = lie.make_sim3(res.R, res.t, res.s)      # A: w1 -> w2
+        # Sim3-guided densification + joint refinement (reference
+        # MapMatcher::ComputeSim3 runs SearchBySim3 + OptimizeSim3 on the
+        # union, src/MapMatcher.cpp:330-345). The guided search works in
+        # camera frames: S12_cam (cam2 -> cam1) = U(T1) . A^-1 . U(T2)^-1.
+        from . import loop_closing as lc_mod
+
+        U1 = lie.make_sim3(kf1.Tcw[slot1][:3, :3], kf1.Tcw[slot1][:3, 3],
+                           jnp.float32(1.0))
+        U2 = lie.make_sim3(kf2.Tcw[slot2][:3, :3], kf2.Tcw[slot2][:3, 3],
+                           jnp.float32(1.0))
+        S12_cam = U1 @ lie.sim3_inv(S) @ lie.sim3_inv(U2)
+        side1 = lc_mod.kf_landmark_side(kf1, m1.mp, slot1)
+        side2 = lc_mod.kf_landmark_side(kf2, m2.mp, slot2)
+        opt, u1, u2, mp1u, mp2u = lc_mod.sim3_guided_refine(
+            side1, side2, S12_cam, feat1, feat2, np.asarray(res.inliers),
+            self.config, K,
+        )
+        if int(opt.n_inliers) < self.config.opt.inliers_thres:
+            return None
+        S_ref = lie.sim3_inv(U2) @ lie.sim3_inv(opt.S12) @ U1
+        inl = np.asarray(opt.inliers)
+        pairs = np.stack([mp1u[inl], mp2u[inl]], -1)
         return MapMatchHit(
             map_id_cur=mid1, map_id_match=mid2,
             slot_cur=slot1, slot_match=slot2,
-            S_match_from_cur=S, mp_pairs=pairs,
+            S_match_from_cur=S_ref, mp_pairs=pairs,
         )

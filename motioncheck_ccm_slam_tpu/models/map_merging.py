@@ -162,23 +162,53 @@ def merge_maps(
     return m_into, kf_slot_map, mp_slot_map
 
 
-def optimize_seam_essential_graph(m: ms.MapState, cur_slot: int,
-                                  match_slot: int, config: Config):
+def seam_measurement(Tcw_cur_pre, Tcw_match, S_align):
+    """Measured Sim3 edge for one map-match hit.
+
+    ``Tcw_cur_pre``: the current-map KF's pose BEFORE the alignment was
+    applied (its own world); ``Tcw_match``: the matched KF's pose in the
+    fused world; ``S_align``: this hit's measured Sim3 (cur world -> fused
+    world). The hit implies the cur KF should sit at
+    ``se3(U(Tcw_cur_pre) . S_align^-1)`` in the fused world; the edge
+    measures S_ji = U(T_match) . U(T_implied)^-1, so the hit whose alignment
+    was actually applied has zero residual and any additional hit's
+    disagreement with it becomes signal for the solver.
+    """
+    U_pre = lie.make_sim3(Tcw_cur_pre[:3, :3], Tcw_cur_pre[:3, 3],
+                          jnp.float32(1.0))
+    T_impl = pose_graph.se3_from_sim3(
+        (U_pre @ lie.sim3_inv(jnp.asarray(S_align)))[None]
+    )[0]
+    U_impl = lie.make_sim3(T_impl[:3, :3], T_impl[:3, 3], jnp.float32(1.0))
+    U_match = lie.make_sim3(Tcw_match[:3, :3], Tcw_match[:3, 3],
+                            jnp.float32(1.0))
+    return U_match @ lie.sim3_inv(U_impl)
+
+
+def optimize_seam_essential_graph(m: ms.MapState, seam_edges,
+                                  fixed_slot: int, config: Config):
     """Essential-graph optimization over the fused map (reference
     ``Optimizer::OptimizeEssentialGraphMapFusion`` src/Optimizer.cpp:1339,
     called from MapMerger::MergeMaps :500 before the fused-map GBA).
 
-    Unlike the loop-closure variant, every vertex estimate and every edge
-    measurement comes from the CURRENT (already Sim3-aligned) poses — the
-    solve rigidifies the seam by reconciling the new cross-map covis links
-    (zero-residual by construction, nonzero as soon as fusion rewired
-    observations) with each map's internal graph. Gauge = the matched KF.
+    ``seam_edges``: list of ``(cur_slot, match_slot, S_ji_meas)`` — one per
+    confirmed map-match hit, measured via :func:`seam_measurement` from the
+    hit's own Sim3 (reference MergeMaps receives a *vector* of MapMatchHits,
+    src/MapMatcher.cpp:439-448). Intra-map edges (spanning tree, old loop
+    edges, strong covis) are measured from the CURRENT poses: the whole
+    current map was rigidly aligned, so they are zero-residual rigidity
+    anchors — the same convention as the reference, whose fusion variant
+    builds every normal-edge measurement from ``vScw`` (Optimizer.cpp:1395,
+    1437-1460). The functional signal is the *disagreement between multiple
+    seam hits*: with one hit the solve is a consistent fixed point (as in
+    the reference); with several, their residuals are distributed over the
+    graph. Gauge = the matched KF of the primary hit.
     """
     kf = m.kf
     valid = np.asarray(kf.valid)
     slots = np.flatnonzero(valid)
     V = len(slots)
-    if V < 2:
+    if V < 2 or not seam_edges:
         return
     comp = np.full(m.nk, -1, np.int64)
     comp[slots] = np.arange(V)
@@ -191,17 +221,21 @@ def optimize_seam_essential_graph(m: ms.MapState, cur_slot: int,
     parent = np.asarray(kf.parent)
     loop_edge = np.asarray(kf.loop_edge)
     seen = set()
-    ei, ej = [], []
+    ei, ej, seam_meas = [], [], []
 
-    def add(a, b):
+    def add(a, b, meas=None):
         key = (min(a, b), max(a, b))
         if a == b or key in seen:
             return
         seen.add(key)
         ei.append(comp[a])
         ej.append(comp[b])
+        seam_meas.append(meas)
 
-    add(cur_slot, match_slot)   # the seam edge is always present
+    for cur_s, match_s, meas in seam_edges:
+        if valid[cur_s] and valid[match_s]:
+            add(int(cur_s), int(match_s), meas)
+    n_seam = len(ei)
     for s in slots:
         p = parent[s]
         if p >= 0 and valid[p]:
@@ -213,18 +247,22 @@ def optimize_seam_essential_graph(m: ms.MapState, cur_slot: int,
     for a, b in cov:
         if valid[a] and valid[b]:
             add(int(a), int(b))
-    if not ei:
+    if not ei or n_seam == 0:
         return
     ei_j = jnp.asarray(np.array(ei, np.int32))
     ej_j = jnp.asarray(np.array(ej, np.int32))
     meas = pose_graph.make_edge_measurements(S_init, ei_j, ej_j)
+    meas = jnp.concatenate([
+        jnp.stack([jnp.asarray(mm) for mm in seam_meas[:n_seam]], 0),
+        meas[n_seam:],
+    ], 0)
     edges = pose_graph.PoseGraphEdges(
         i=ei_j, j=ej_j, S_ji_meas=meas,
         weight=jnp.ones(len(ei), jnp.float32),
         valid=jnp.ones(len(ei), bool),
     )
     fixed = np.zeros(V, bool)
-    fixed[comp[match_slot]] = True
+    fixed[comp[fixed_slot]] = True
     res = pose_graph.optimize_pose_graph(
         S_init, edges, jnp.asarray(fixed),
         iterations=config.opt.solver_iterations,

@@ -67,8 +67,16 @@ def _schur_matvec(v, Hcc_d, Hll_inv, Wcl, cam_idx, lm_idx, C, L, reduce,
     return Hv - w
 
 
-def _pcg(matvec, b, M_inv_blocks, iters: int):
-    """Block-Jacobi preconditioned CG on the (C,6) camera system."""
+def _pcg(matvec, b, M_inv_blocks, iters: int, rtol: float = 1e-3):
+    """Block-Jacobi preconditioned CG on the (C,6) camera system.
+
+    Runs at most ``iters`` sweeps with residual-based early exit: the loop
+    stops once the preconditioned residual norm r.z drops below
+    rtol^2 * (r0.z0) — converged LM steps skip the remaining sweeps instead
+    of burning a fixed budget. All loop-carried scalars are replicated under
+    shard_map (matvec psums before any reduction), so the exit condition is
+    consistent across devices.
+    """
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", M_inv_blocks, r)
@@ -76,10 +84,15 @@ def _pcg(matvec, b, M_inv_blocks, iters: int):
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = precond(r0)
-    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    thresh = (rtol * rtol) * rz0
 
-    def body(_, state):
-        x, r, z, p, rz = state
+    def cond(state):
+        _x, _r, _z, _p, rz, i = state
+        return (i < iters) & (rz > thresh)
+
+    def body(state):
+        x, r, z, p, rz, i = state
         Ap = matvec(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-12, 1.0, pAp)
@@ -89,10 +102,10 @@ def _pcg(matvec, b, M_inv_blocks, iters: int):
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1.0, rz)
         p = z + beta * p
-        return x, r, z, p, rz_new
+        return x, r, z, p, rz_new, i + 1
 
-    x, *_ = jax.lax.fori_loop(
-        0, iters, body, (x0, r0, z0, p0, jnp.sum(r0 * z0))
+    x, *_ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0))
     )
     return x
 
@@ -319,6 +332,76 @@ def _gba_iteration_sorted(state, obs: ba_core.BAObservations, K, fixed_cam,
     return (Tcw, Xw, lam), cost_new
 
 
+def make_sorted_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
+    """Single-chip matrix-free GBA using the sorted-cumsum landmark
+    reduction (``_gba_iteration_sorted``): camera sums are reshape-sums over
+    the camera-major observation stream, landmark sums are one permutation
+    gather + parallel-prefix cumsum + boundary diff. Unlike the SegmentPlan
+    gather tables, the hot-loop cost is independent of the landmark degree
+    distribution (a table pads every landmark to the max degree; a popular
+    landmark inflates the whole gather). Requires camera-major contiguous
+    observations — exactly what map_state.gather_observations produces."""
+
+    bodies = {}
+    plan_cache: list = [None]
+
+    def _get_body(cam_seg: int):
+        if cam_seg not in bodies:
+            def body_fn(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
+                        cam_idx, lm_idx, uv, inv_sigma2, valid,
+                        lm_order, lm_bounds, cam_idx_sorted):
+                obs = ba_core.BAObservations(
+                    cam_idx=cam_idx, lm_idx=lm_idx, uv=uv,
+                    inv_sigma2=inv_sigma2, valid=valid,
+                )
+                C = Tcw.shape[0]
+                L = Xw.shape[0]
+
+                def it(_, st):
+                    st, _cost = _gba_iteration_sorted(
+                        st, obs, K, fixed_cam, fixed_lm, C, L, pcg_iters,
+                        cam_seg, lm_order, lm_bounds, cam_idx_sorted, lm_idx,
+                    )
+                    return st
+
+                Tcw_o, Xw_o, lam = jax.lax.fori_loop(
+                    0, n_iters, it, (Tcw, Xw, jnp.float32(1e-4))
+                )
+                r, _, depth_ok = ba_core.reproject_residuals(
+                    Tcw_o, Xw_o, obs, K
+                )
+                chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+                inlier = obs.valid & (chi2 <= ba_core.CHI2_MONO) & depth_ok
+                cost = _robust_cost(chi2, inlier)
+                return Tcw_o, Xw_o, inlier, cost
+            bodies[cam_seg] = jax.jit(body_fn)
+        return bodies[cam_seg]
+
+    def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
+            n_iterations=None):
+        n_it = jnp.int32(iterations if n_iterations is None else n_iterations)
+        C, L = Tcw.shape[0], Xw.shape[0]
+        O = obs.cam_idx.shape[0]
+        assert O % C == 0, "sorted GBA needs camera-major contiguous obs"
+        ent = plan_cache[0]
+        if (ent is None or ent[0] is not obs.lm_idx
+                or ent[1] is not obs.cam_idx or ent[2] != (C, L)):
+            ss = ba_core.build_sorted_segments(np.asarray(obs.lm_idx), L)
+            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss,
+                   obs.cam_idx[ss.order])
+            plan_cache[0] = ent
+        ss, cam_idx_sorted = ent[3], ent[4]
+        body = _get_body(O // C)
+        Tcw_o, Xw_o, inlier, cost = body(
+            Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
+            obs.cam_idx, obs.lm_idx, obs.uv, obs.inv_sigma2, obs.valid,
+            ss.order, ss.bounds, cam_idx_sorted,
+        )
+        return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
+
+    return gba
+
+
 def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
     """Single-chip matrix-free GBA: the same LM/PCG body as the sharded
     solver, without collectives. This is what ``run_gba`` picks when the
@@ -350,20 +433,29 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
             bodies[key] = jax.jit(body_fn)
         return bodies[key]
 
-    plan_cache = {}
+    # one live problem at a time; the cache entry keeps STRONG references to
+    # the keyed index arrays and revalidates by object identity — an id()
+    # key would silently alias a recycled address after the previous job's
+    # arrays are garbage-collected, reusing a stale landmark plan built for
+    # different associations
+    plan_cache: list = [None]  # (cam_idx, lm_idx, C, L, cam_plan, lm_plan)
 
     def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
             n_iterations=None):
         n_it = jnp.int32(iterations if n_iterations is None else n_iterations)
         C, L = Tcw.shape[0], Xw.shape[0]
-        key = (id(obs.cam_idx), id(obs.lm_idx), C, L)
-        if key not in plan_cache:
-            plan_cache.clear()   # one live problem at a time
-            plan_cache[key] = (
+        ent = plan_cache[0]
+        if (ent is None or ent[0] is not obs.cam_idx
+                or ent[1] is not obs.lm_idx or ent[2] is not obs.valid
+                or ent[3] != (C, L)):
+            ent = (
+                obs.cam_idx, obs.lm_idx, obs.valid, (C, L),
                 ba_core.build_segment_plan(np.asarray(obs.cam_idx), C),
-                ba_core.build_segment_plan(np.asarray(obs.lm_idx), L),
+                ba_core.build_segment_plan(np.asarray(obs.lm_idx), L,
+                                           valid=np.asarray(obs.valid)),
             )
-        cam_plan, lm_plan = plan_cache[key]
+            plan_cache[0] = ent
+        cam_plan, lm_plan = ent[4], ent[5]
         body = _get_body(cam_plan.seg_size, lm_plan.seg_size)
         Tcw_o, Xw_o, inlier, cost = body(
             Tcw, Xw, K, fixed_cam, fixed_lm, n_it,

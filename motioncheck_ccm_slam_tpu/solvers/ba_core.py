@@ -133,24 +133,41 @@ class SegmentPlan(NamedTuple):
     seg_size: int = 0            # contiguous fast path when > 0
 
 
-def build_segment_plan(idx: np.ndarray, n: int) -> SegmentPlan:
+def build_segment_plan(idx: np.ndarray, n: int,
+                       valid: np.ndarray = None) -> SegmentPlan:
     """Host-side plan construction (once per problem, amortized over all LM
-    and PCG iterations)."""
+    and PCG iterations).
+
+    ``valid``: optional (O,) bool — invalid observations are excluded from
+    the gather tables entirely. The product observation stream parks every
+    empty feature slot at landmark 0 (map_state.gather_observations), so
+    without the filter segment 0's count — and with it the table's Kmax
+    padding for EVERY segment — scales with the number of empty slots
+    (terabytes at the server operating point). Excluded slots carry zero
+    weight anyway; skipping them also removes their gather traffic.
+    """
     idx = np.asarray(idx, np.int64)
-    if len(idx) and len(idx) % n == 0:
+    if valid is not None:
+        valid = np.asarray(valid, bool)
+        if valid.all():
+            valid = None
+    if valid is None and len(idx) and len(idx) % n == 0:
         k = len(idx) // n
         if (idx == np.repeat(np.arange(n, dtype=np.int64), k)).all():
             return SegmentPlan(None, None, seg_size=k)
-    order = np.argsort(idx, kind="stable")
-    counts = np.bincount(idx, minlength=n)
-    kmax = max(int(counts.max()) if len(idx) else 1, 1)
+    keep = np.flatnonzero(valid) if valid is not None \
+        else np.arange(len(idx), dtype=np.int64)
+    idx_k = idx[keep]
+    order = np.argsort(idx_k, kind="stable")
+    counts = np.bincount(idx_k, minlength=n)
+    kmax = max(int(counts.max()) if len(idx_k) else 1, 1)
     starts = np.zeros(n + 1, np.int64)
     starts[1:] = np.cumsum(counts)
-    pos_in_seg = np.arange(len(idx), dtype=np.int64) - starts[idx[order]]
+    pos_in_seg = np.arange(len(idx_k), dtype=np.int64) - starts[idx_k[order]]
     table = np.zeros((n, kmax), np.int32)
     mask = np.zeros((n, kmax), bool)
-    table[idx[order], pos_in_seg] = order
-    mask[idx[order], pos_in_seg] = True
+    table[idx_k[order], pos_in_seg] = keep[order]
+    mask[idx_k[order], pos_in_seg] = True
     return SegmentPlan(jnp.asarray(table), jnp.asarray(mask))
 
 

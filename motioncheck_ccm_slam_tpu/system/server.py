@@ -47,6 +47,10 @@ class ServerClientHandler:
     # MP slot -> processed-KF count at first sight; -1 untracked, -2 exempt
     mp_tick: np.ndarray = None
     recent_slots: List[int] = dataclasses.field(default_factory=list)
+    # KF slots invalidated in the last spin (for shared-DB hygiene)
+    stale_kf_slots: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
 
     def __post_init__(self):
         if self.mp_tick is None:
@@ -138,6 +142,21 @@ class ServerClientHandler:
                 self.loop_closer.process_keyframe(
                     slot, interrupt_check=self._interrupt_check()
                 )
+        # slots freed by culling/replacement this cycle lose their probation
+        # bookkeeping — a future landmark reusing the slot must not inherit
+        # the dead one's tick (it would skip or instantly fail probation)
+        self.mp_tick[~np.asarray(self.map.mp.valid)[:len(self.mp_tick)]] = -1
+        # database hygiene: culled / MC-deleted KFs must stop scoring in the
+        # loop database (reference mpKeyFrameDB->erase,
+        # src/KeyFrame.cpp:850,1171); the caller also erases them from the
+        # shared map-match database via ``stale_kf_slots``
+        db = self.loop_closer.database
+        kf_valid = np.asarray(self.map.kf.valid)
+        present = np.asarray(db.present)[:self.map.nk]
+        stale = np.flatnonzero(present & ~kf_valid)
+        if len(stale):
+            db.erase_many(stale)
+        self.stale_kf_slots = stale
         return new_slots
 
 
@@ -197,6 +216,14 @@ class ServerSystem:
             self.watchdog.beat(f"placerec{cid}")
             # keep the matcher's map table pointing at live maps
             self.matcher.maps[cid] = h.map
+            # erase deleted KFs from the shared map-match database too
+            if len(h.stale_kf_slots):
+                rows = [
+                    self.matcher.row_of[(cid, int(s))]
+                    for s in h.stale_kf_slots
+                    if (cid, int(s)) in self.matcher.row_of
+                ]
+                self.matcher.db.erase_many(rows)
             for slot in new_slots:
                 if not bool(np.asarray(h.map.kf.valid[slot])):
                     continue
@@ -216,6 +243,17 @@ class ServerSystem:
         h_cur = self.handlers[hit.map_id_cur]
         h_match = self.handlers[hit.map_id_match]
         m_cur, m_match = h_cur.map, h_match.map
+        # seam measurements need the cur map's PRE-alignment poses; compute
+        # one measured Sim3 edge per hit (primary + auxiliary) before the
+        # rigid transform overwrites them
+        all_hits = [(hit.slot_cur, hit.slot_match, hit.S_match_from_cur)]
+        all_hits += list(hit.aux)
+        seam_meas = [
+            map_merging.seam_measurement(
+                m_cur.kf.Tcw[sc], m_match.kf.Tcw[sm], S_k
+            )
+            for sc, sm, S_k in all_hits
+        ]
         m_cur = map_merging.sim3_transform_map(m_cur, hit.S_match_from_cur)
         m_match, kf_map, mp_map = map_merging.merge_maps(
             m_cur, m_match, hit.S_match_from_cur,
@@ -232,8 +270,13 @@ class ServerSystem:
         cur_slot = kf_map[hit.slot_cur]
         seam = [cur_slot, hit.slot_match]
         mapping_mod.fuse_neighbors(m_match, seam, self.config)
+        seam_edges = [
+            (kf_map[sc], sm, meas)
+            for (sc, sm, _), meas in zip(all_hits, seam_meas)
+            if sc in kf_map
+        ]
         map_merging.optimize_seam_essential_graph(
-            m_match, cur_slot, hit.slot_match, self.config
+            m_match, seam_edges, hit.slot_match, self.config
         )
         gba_mod.run_gba(m_match, self.config,
                         interrupt_check=h_match._interrupt_check())

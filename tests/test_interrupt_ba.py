@@ -106,6 +106,49 @@ def test_mid_gba_keyframe_gets_spanning_tree_propagation():
     assert np.abs(T_anchor_opt - T_anchor_live).max() > 1e-5
 
 
+def test_mid_gba_keyframe_chain_propagates_through_midjob_ancestor():
+    """Two KFs inserted mid-job where the second one's only ancestor is the
+    FIRST mid-job KF: its correction must chain off the first one's
+    propagated pose, not a stale pre-propagation copy (the first KF's slot
+    held no meaningful pose when the job snapshotted)."""
+    world, m, slots = _make_map(noise=0.04)
+    job = gba_mod.GBAJob(m=m, config=CONFIG, iterations=12,
+                         enable_motion_check=False, chunk=4)
+    job.step()
+    anchor = slots[-1]
+    T_anchor_live = np.asarray(m.kf.Tcw[anchor])
+    rels, new_slots = [], []
+    prev, T_prev = anchor, T_anchor_live
+    for k in range(2):
+        T_rel = np.eye(4, dtype=np.float32)
+        T_rel[0, 3] = 0.2 + 0.1 * k
+        T_new = T_rel @ T_prev
+        s = m.alloc_kf_slot(90 + k, 0)
+        m.kf = m.kf._replace(
+            kf_id=m.kf.kf_id.at[s].set(90 + k),
+            client_id=m.kf.client_id.at[s].set(0),
+            timestamp=m.kf.timestamp.at[s].set(90.0 + k),
+            Tcw=m.kf.Tcw.at[s].set(jnp.asarray(T_new)),
+            valid=m.kf.valid.at[s].set(True),
+            parent=m.kf.parent.at[s].set(prev),
+            pred=m.kf.pred.at[s].set(prev),
+        )
+        rels.append(T_rel)
+        new_slots.append(s)
+        prev, T_prev = s, T_new
+    while not job.step():
+        pass
+    job.finalize()
+    # every link of the chain preserves its relative transform exactly
+    T_anchor_opt = np.asarray(m.kf.Tcw[anchor])
+    prev_T = T_anchor_opt
+    for T_rel, s in zip(rels, new_slots):
+        T_opt = np.asarray(m.kf.Tcw[s])
+        assert np.abs(T_opt @ np.linalg.inv(prev_T) - T_rel).max() < 1e-4
+        prev_T = T_opt
+    assert np.abs(T_anchor_opt - T_anchor_live).max() > 1e-5
+
+
 def _kf_msg_for(m, slot, kf_id, client_id=0):
     """Minimal full-KF message chained to an existing server KF."""
     F = m.kf.xy.shape[1]

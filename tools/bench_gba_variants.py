@@ -1,0 +1,94 @@
+"""Benchmark the matrix-free GBA variants on the real chip at the server
+operating point (2048 KFs, 65k landmarks, ~2M observations) and report
+ms/LM-iteration + achieved-vs-roofline fraction.
+
+Variants:
+  plan    — SegmentPlan gather tables for the landmark reductions
+  sorted  — permutation gather + parallel-prefix cumsum + boundary diff
+
+Usage: python tools/bench_gba_variants.py [--kfs 2048] [--mps 65536]
+       [--obs-per-kf 1000] [--iters 10] [--pcg 25]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kfs", type=int, default=2048)
+    ap.add_argument("--mps", type=int, default=65536)
+    ap.add_argument("--obs-per-kf", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--pcg", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from motioncheck_ccm_slam_tpu.models import gba as gba_mod
+    from motioncheck_ccm_slam_tpu.parallel import sharded_ba
+    from motioncheck_ccm_slam_tpu.utils import bigmap
+
+    print(f"devices: {jax.devices()}")
+    m, cfg, Tcw_true = bigmap.build_server_scale_map(
+        n_kfs=args.kfs, n_mps=args.mps, obs_per_kf=args.obs_per_kf, seed=0
+    )
+    obs = gba_mod.build_observations(m.kf, cfg)
+    O = int(obs.cam_idx.shape[0])
+    n_valid = int(np.asarray(obs.valid).sum())
+    deg = np.bincount(np.asarray(obs.lm_idx)[np.asarray(obs.valid)],
+                      minlength=args.mps)
+    print(f"C={args.kfs} L={args.mps} O={O} (valid {n_valid}) "
+          f"lm degree mean={deg.mean():.1f} max={deg.max()}")
+
+    K = jnp.asarray(cfg.camera.K())
+    fixed_cam = jnp.zeros(args.kfs, bool).at[0].set(True)
+    fixed_cam = jnp.concatenate(
+        [fixed_cam, jnp.ones(m.nk - args.kfs, bool)])
+    fixed_lm = ~m.mp.valid
+    Tcw0, Xw0 = m.kf.Tcw, m.mp.Xw
+
+    def bench(name, solver):
+        r = solver(Tcw0, Xw0, obs, K, fixed_cam, fixed_lm, 1)
+        jax.block_until_ready(r.Tcw)          # compile + plan build
+        t0 = time.perf_counter()
+        r = solver(Tcw0, Xw0, obs, K, fixed_cam, fixed_lm, args.iters)
+        jax.block_until_ready(r.Tcw)
+        dt = time.perf_counter() - t0
+        ms = dt / args.iters * 1e3
+        print(f"{name:8s} {ms:9.1f} ms/LM-iter  "
+              f"({args.iters / dt:.3f} it/s)  cost={float(r.cost):.1f}")
+        return ms
+
+    ms_plan = bench("plan", sharded_ba.make_matrix_free_gba(
+        pcg_iters=args.pcg))
+    ms_sorted = bench("sorted", sharded_ba.make_sorted_matrix_free_gba(
+        pcg_iters=args.pcg))
+
+    # roofline: the PCG sweep is HBM-bound. Per sweep the matvec streams
+    # Wcl twice (O x 18 f32), the per-obs gathers/products (~O x 24 f32),
+    # and the segment reductions (~O x 9 f32 landmark-side + cam reshape)
+    bytes_sweep = 4 * O * (18 * 2 + 24 + 9 + 6)
+    # per LM iteration: residual+jacobian+assembly streams roughly
+    # r/pc/Jc/Jl/Wcl + block segment sums ~ O x 60 f32, plus pcg sweeps
+    bytes_iter = 4 * O * 60 + args.pcg * bytes_sweep
+    hbm = 819e9   # v5e HBM bandwidth
+    sol_ms = bytes_iter / hbm * 1e3
+    best = min(ms_plan, ms_sorted)
+    print(f"roofline: ~{bytes_iter / 2**30:.2f} GiB/LM-iter -> "
+          f"{sol_ms:.1f} ms/LM-iter at {hbm / 1e9:.0f} GB/s; "
+          f"achieved {sol_ms / best * 100:.0f}% of speed-of-light "
+          f"(best={best:.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
