@@ -418,6 +418,58 @@ class ServerComm:
     closest_kf_id: int = -1
     # the agent sent an explicit goodbye (multi-process end-of-stream)
     agent_said_done: bool = False
+    # client-world -> map-world Sim3 (reference mg2oS_wcurmap_wclientmap,
+    # include/cslam/CentralControl.h:86): identity until this agent's map is
+    # fused into another map by a scale-changing Sim3; after that every
+    # client<->server pose/position crossing this channel is re-metrized by
+    # its scale (reference KeyFrame::ConvertToMessageClient
+    # src/KeyFrame.cpp:1351,1367 multiplies translations by the scale)
+    S_wm_wc: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float64))
+
+    def compose_fusion_sim3(self, S_fusion: np.ndarray):
+        """The map this agent streams into was transformed by ``S_fusion``
+        (old-map world -> fused-map world) during a merge."""
+        self.S_wm_wc = np.asarray(S_fusion, np.float64) @ self.S_wm_wc
+
+    @property
+    def map_scale(self) -> float:
+        """Scale of the client-world -> map-world Sim3."""
+        return float(np.cbrt(np.linalg.det(self.S_wm_wc[:3, :3])))
+
+    def _pose_client_to_map(self, Tcw_c: np.ndarray) -> np.ndarray:
+        """Absolute client pose -> map-frame SE3 in the map's metric:
+        Tcw_map = re-metrize(Tcw_client . S_wm_wc^-1)."""
+        s = self.map_scale
+        S = self.S_wm_wc
+        R = S[:3, :3] / s
+        Rm = Tcw_c[:3, :3] @ R.T
+        out = np.eye(4)
+        out[:3, :3] = Rm
+        out[:3, 3] = s * Tcw_c[:3, 3] - Rm @ S[:3, 3]
+        return out
+
+    def _pose_map_to_client(self, Tcw_m: np.ndarray) -> np.ndarray:
+        """Inverse of :meth:`_pose_client_to_map`."""
+        s = self.map_scale
+        S = self.S_wm_wc
+        R = S[:3, :3] / s
+        out = np.eye(4)
+        out[:3, :3] = Tcw_m[:3, :3] @ R
+        out[:3, 3] = (Tcw_m[:3, 3] + Tcw_m[:3, :3] @ S[:3, 3]) / s
+        return out
+
+    def _rel_client_to_map(self, Tcp: np.ndarray) -> np.ndarray:
+        """Relative SE3 (client metric) -> map metric: translations scale by
+        s (frames conjugate the scaling away: L_s Tcp L_s^-1 = [R | s t])."""
+        out = Tcp.copy().astype(np.float64)
+        out[:3, 3] *= self.map_scale
+        return out
+
+    def _rel_map_to_client(self, Tcp: np.ndarray) -> np.ndarray:
+        out = Tcp.copy().astype(np.float64)
+        out[:3, 3] /= self.map_scale
+        return out
 
     def _resolve_kf(self, kf_id: int) -> Optional[int]:
         return self.map.kf_slot_by_id.get((kf_id, self.client_id))
@@ -428,10 +480,11 @@ class ServerComm:
             pred_slot = self._resolve_kf(msg.pred_id)
             if pred_slot is None:
                 return False  # defer until predecessor arrives
-            Tcw = msg.Tcp @ np.asarray(m.kf.Tcw[pred_slot])
+            Tcw = self._rel_client_to_map(msg.Tcp) \
+                @ np.asarray(m.kf.Tcw[pred_slot])
             pred = pred_slot
         else:
-            Tcw = msg.Tcp
+            Tcw = self._pose_client_to_map(msg.Tcp)
             pred = -1
         parent = self._resolve_kf(msg.parent_id) if msg.parent_id >= 0 else None
         mp_idx = np.full(msg.mp_ids.shape, -1, np.int32)
@@ -469,7 +522,10 @@ class ServerComm:
         if ref_slot is None:
             return False
         Twc_ref = np.linalg.inv(np.asarray(m.kf.Tcw[ref_slot]))
-        Xw = Twc_ref[:3, :3] @ msg.pos_ref + Twc_ref[:3, 3]
+        # pos_ref is in the reference-KF camera frame in CLIENT metric;
+        # re-metrize before lifting through the map-frame reference pose
+        pos_ref = msg.pos_ref * self.map_scale
+        Xw = Twc_ref[:3, :3] @ pos_ref + Twc_ref[:3, 3]
         import jax.numpy as jnp
 
         key = (msg.mp_id, self.client_id)
@@ -595,9 +651,10 @@ class ServerComm:
                     pred_slot = self._resolve_kf(r.pred_id)
                     if pred_slot is None:
                         continue
-                    Tcw = r.Tcp @ np.asarray(self.map.kf.Tcw[pred_slot])
+                    Tcw = self._rel_client_to_map(r.Tcp) \
+                        @ np.asarray(self.map.kf.Tcw[pred_slot])
                 else:
-                    Tcw = r.Tcp
+                    Tcw = self._pose_client_to_map(r.Tcp)
                 red_slots.append(slot)
                 red_poses.append(Tcw.astype(np.float32))
             # landmark position refresh relative to the reference KF
@@ -609,9 +666,10 @@ class ServerComm:
                 if mslot is None or ref_slot is None:
                     continue
                 Twc = np.linalg.inv(np.asarray(self.map.kf.Tcw[ref_slot]))
+                pos_ref = r.pos_ref * self.map_scale
                 mp_red_slots.append(mslot)
                 mp_red_pos.append(
-                    (Twc[:3, :3] @ r.pos_ref + Twc[:3, 3]).astype(np.float32))
+                    (Twc[:3, :3] @ pos_ref + Twc[:3, 3]).astype(np.float32))
         if red_slots:
             self.map.kf = self.map.kf._replace(
                 Tcw=self.map.kf.Tcw.at[jnp.asarray(red_slots)].set(
@@ -672,12 +730,16 @@ class ServerComm:
                 continue  # only this agent's frames go down its channel
             pred = int(np.asarray(m.kf.pred[slot]))
             Tcw = np.asarray(m.kf.Tcw[slot])
+            # downlink re-metrization: map-frame poses -> the client's own
+            # world/metric (reference src/KeyFrame.cpp:1351-1418 scales the
+            # shipped translations by the client<->map Sim3 scale)
             if pred >= 0 and valid[pred]:
                 pred_id = int(kf_ids[pred])
-                Tcp = Tcw @ np.linalg.inv(np.asarray(m.kf.Tcw[pred]))
+                Tcp = self._rel_map_to_client(
+                    Tcw @ np.linalg.inv(np.asarray(m.kf.Tcw[pred])))
             else:
                 pred_id = -1
-                Tcp = Tcw
+                Tcp = self._pose_map_to_client(Tcw)
             out.append(KfRedMsg(
                 kf_id=int(kf_ids[slot]), client_id=self.client_id,
                 Tcp=Tcp, pred_id=pred_id,

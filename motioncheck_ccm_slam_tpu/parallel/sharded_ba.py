@@ -67,7 +67,7 @@ def _schur_matvec(v, Hcc_d, Hll_inv, Wcl, cam_idx, lm_idx, C, L, reduce,
     return Hv - w
 
 
-def _pcg(matvec, b, M_inv_blocks, iters: int, rtol: float = 1e-3):
+def _pcg(matvec, b, M_inv_blocks, iters: int, rtol: float = 1e-5):
     """Block-Jacobi preconditioned CG on the (C,6) camera system.
 
     Runs at most ``iters`` sweeps with residual-based early exit: the loop

@@ -254,6 +254,12 @@ class ServerSystem:
             )
             for sc, sm, S_k in all_hits
         ]
+        # handlers streaming into the transformed map must carry the fusion
+        # Sim3 on their client<->map channel from now on (reference
+        # mg2oS_wcurmap_wclientmap, include/cslam/CentralControl.h:86)
+        moved = [h for h in self.handlers.values()
+                 if h.map is m_cur or h is h_cur]
+        S_fusion = np.asarray(hit.S_match_from_cur, np.float64)
         m_cur = map_merging.sim3_transform_map(m_cur, hit.S_match_from_cur)
         m_match, kf_map, mp_map = map_merging.merge_maps(
             m_cur, m_match, hit.S_match_from_cur,
@@ -261,8 +267,9 @@ class ServerSystem:
         )
         # every handler pointing at the old map re-points to the fused one
         for cid, h in self.handlers.items():
-            if h.map is m_cur or h is h_cur:
+            if h in moved:
                 h.change_map(m_match, kf_map)
+                h.comm.compose_fusion_sim3(S_fusion)
             self.matcher.maps[cid] = self.handlers[cid].map
         # fuse duplicates around the seam, rigidify with the fusion
         # essential graph, then the Motion-Check-gated GBA (reference
