@@ -100,9 +100,11 @@ def _finish(server, clients, out_dir, t0):
             }
             for cid, c in enumerate(clients)
         },
+        "n_gba_interrupts": server.n_gba_interrupts,
         "server_maps": [
             {"kfs": h.map.n_kfs, "mps": h.map.n_mps,
-             "loops": h.loop_closer.n_loops_closed}
+             "loops": h.loop_closer.n_loops_closed,
+             "regba": h.loop_closer.n_regba}
             for h in {id(h.map): h for h in server.handlers.values()}.values()
         ],
     }
@@ -115,16 +117,19 @@ def _finish(server, clients, out_dir, t0):
 def cmd_synth(args):
     import sys
 
-    from .config import CameraParams, Config
+    from .config import CameraParams, Config, MotionCheckParams
 
     config = Config().replace(
         camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
     )
     if args.small:
         config = _small_preset(config)
+    if not getattr(args, "motion_check", True):
+        config = config.replace(
+            motion_check=MotionCheckParams(enabled=False))
     # the synthetic scene lives in tests/ for shared use
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-    from synth_scene import SynthScene
+    from synth_scene import RingScene, SynthScene
 
     t0 = time.time()
     server, clients = _build_system(config, args.agents)
@@ -132,11 +137,23 @@ def cmd_synth(args):
         hid = server.add_loaded_map(args.load_map)
         print(f"mounted prior map as handler {hid}: {args.load_map} "
               f"({server.handlers[hid].map.n_kfs} KFs)")
-    scenes = [
-        SynthScene(config, n_points=700, seed=3 + (0 if args.shared_world
-                                                   else cid), speed=0.9)
-        for cid in range(args.agents)
-    ]
+    if getattr(args, "world", "wall") == "ring":
+        # corridor-loop world: every agent starts at its own angle of the
+        # SAME ring (organic revisits -> loop closures; pairwise overlap ->
+        # cascaded merges). --arc-offset-deg overrides the even spacing.
+        offs = (args.arc_offset_deg if args.arc_offset_deg
+                else [360.0 * cid / args.agents
+                      for cid in range(args.agents)])
+        scenes = [
+            RingScene(config, seed=3, start_deg=offs[cid])
+            for cid in range(args.agents)
+        ]
+    else:
+        scenes = [
+            SynthScene(config, n_points=700, seed=3 + (0 if args.shared_world
+                                                       else cid), speed=0.9)
+            for cid in range(args.agents)
+        ]
     blackout = None
     if args.blackout:
         a, b = args.blackout.split(":")
@@ -191,6 +208,7 @@ def cmd_synth(args):
                       stats["agents"].items()}))
     if live is not None:
         live.close()
+    return stats
 
 
 def cmd_serve(args):
@@ -367,6 +385,14 @@ def main():
                     default=True)
     ps.add_argument("--blackout", default=None, metavar="A:B",
                     help="zero out frames [A, B) to force tracking loss")
+    ps.add_argument("--world", choices=["wall", "ring"], default="wall",
+                    help="ring = corridor-loop world (organic loop closures"
+                         " + cascaded merges)")
+    ps.add_argument("--arc-offset-deg", type=float, nargs="*", default=None,
+                    help="per-agent ring start angles (default: even)")
+    ps.add_argument("--motion-check", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="--no-motion-check disables the GBA Motion Check")
     ps.add_argument("--small", action="store_true",
                     help="reduced feature/capacity preset for CPU smoke runs")
     ps.add_argument("--live", type=int, default=None, metavar="PORT",

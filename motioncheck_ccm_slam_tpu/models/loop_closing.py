@@ -113,9 +113,6 @@ class LoopCloser:
     n_regba: int = 0
 
     # ------------------------------------------------------------------
-    def _covis(self):
-        return np.asarray(ms.covisibility(self.map.kf, self.map.nm))
-
     def _covis_group(self, slot: int, W=None, thres: float = 15.0) -> Set[int]:
         if W is None:
             # one row is enough — avoids the full O(NK^2) matrix per tick
@@ -235,7 +232,13 @@ class LoopCloser:
         cfg = self.config
         m = self.map
         kf, mp = m.kf, m.mp
-        W_before = self._covis()
+        minfeat = cfg.opt.ess_graph_min_feats
+        # pre-fusion covisibility: computed ONCE on device, fetched as the
+        # thresholded boolean matrix + the current KF's row (the only float
+        # row any consumer needs) — not the full O(NK²) float matrix
+        Wd = ms.covisibility(kf, m.nm)
+        row_cur = np.asarray(Wd[cur])
+        Wb_ge = np.asarray(Wd >= minfeat)
 
         # snapshot the pre-correction poses: these are the reference's
         # NonCorrectedSim3 (src/LoopFinder.cpp:520-566) — the essential-graph
@@ -254,7 +257,7 @@ class LoopCloser:
         S_cur_corr = S12 @ S_cand
 
         # neighborhood to correct: covis group of cur
-        grp = sorted(self._covis_group(cur, W_before))
+        grp = sorted(set(np.flatnonzero(row_cur >= 15.0).tolist()) | {cur})
         grp_idx = jnp.asarray(np.array(grp, np.int32))
         T_cur = kf.Tcw[cur]
         S_cur = lie.make_sim3(T_cur[:3, :3], T_cur[:3, 3], jnp.float32(1.0))
@@ -270,21 +273,20 @@ class LoopCloser:
         # for each landmark referenced by a corrected KF; remember the owner
         # (reference mCorrectedReference_LC) so the essential-graph landmark
         # correction later uses the CORRECTED owner pose as its "before".
-        mp_idx_np = np.asarray(kf.mp_idx)
+        # First-group-member-wins, vectorized: scatter in REVERSE group
+        # order so the earliest member's write lands last.
+        grp_arr = np.array(grp, np.int64)
+        lm_rows = np.asarray(kf.mp_idx[jnp.asarray(grp_arr.astype(np.int32))])
         owner_of = np.full(m.nm, -1, np.int64)   # group-slot that corrected it
-        for gi, s in enumerate(grp):
-            lm = mp_idx_np[s]
-            lm = lm[lm >= 0]
-            for l in lm:
-                if owner_of[l] < 0:
-                    owner_of[l] = s
-        corrected_mask = owner_of >= 0
-        sel = np.flatnonzero(corrected_mask)
+        flat = lm_rows[::-1].ravel()
+        srcs = np.repeat(grp_arr[::-1], lm_rows.shape[1])
+        okm = flat >= 0
+        owner_of[flat[okm]] = srcs[okm]
+        sel = np.flatnonzero(owner_of >= 0)
         if len(sel):
-            slot_to_gi = {s: gi for gi, s in enumerate(grp)}
-            gi = jnp.asarray(
-                np.array([slot_to_gi[s] for s in owner_of[sel]], np.int32)
-            )
+            slot_to_gi = np.full(m.nk, -1, np.int64)
+            slot_to_gi[grp_arr] = np.arange(len(grp))
+            gi = jnp.asarray(slot_to_gi[owner_of[sel]].astype(np.int32))
             S_old = S_grp[gi]
             S_new_inv = lie.sim3_inv(S_corr[gi])
             X = mp.Xw[jnp.asarray(sel)]
@@ -305,10 +307,13 @@ class LoopCloser:
 
         # essential-graph optimization (reference
         # OptimizeEssentialGraphLoopClosure :696 / Optimizer.cpp:1064);
-        # fusion created new cross-loop covis links (LoopConnections)
-        W_after = self._covis()
+        # fusion created new cross-loop covis links (LoopConnections) —
+        # only the corrected group's rows can have gained links, so only
+        # those rows are recomputed/fetched
+        Wa_grp_ge = np.asarray(ms.covisibility_rows(
+            m.kf, m.nm, grp_arr.astype(np.int32)) >= minfeat)
         self._optimize_essential_graph(
-            cur, cand, grp, S_before, W_before, W_after, owner_of
+            cur, cand, grp, S_before, Wb_ge, Wa_grp_ge, owner_of
         )
 
         # record the loop edge AFTER the solve (reference LoopFinder.cpp:699)
@@ -335,7 +340,7 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, cur: int, cand: int, grp,
-                                  S_before_full, W_before, W_after,
+                                  S_before_full, Wb_ge, Wa_grp_ge,
                                   lm_owner):
         """Build and solve the Sim3 pose graph, compacted to valid KFs.
 
@@ -347,6 +352,13 @@ class LoopCloser:
           estimates (vScw);
         - normal edges (spanning tree, previous loop edges, strong covis)
           measure from the PRE-correction poses (NonCorrectedSim3).
+
+        ``Wb_ge``: (NK, NK) bool, pre-fusion covis >= min_feats (invalid
+        KFs have all-zero rows by construction). ``Wa_grp_ge``: (G, NK)
+        bool, post-fusion covis >= min_feats for the corrected group's rows
+        only. Edge assembly is fully vectorized — at the 1-2k-KF server
+        operating point the previous per-edge Python loop was seconds of
+        host time per closure while the device idled.
         """
         cfg = self.config
         m = self.map
@@ -366,53 +378,52 @@ class LoopCloser:
                                jnp.ones(V, jnp.float32))
         S_bef = S_before_full[slots_j]
 
-        minfeat = cfg.opt.ess_graph_min_feats
-        grp_set = set(int(s) for s in grp)
+        grp_arr = np.array(sorted(grp), np.int64)
         parent = np.asarray(kf.parent)
         loop_edge = np.asarray(kf.loop_edge)
 
-        seen = set()
-        norm_i, norm_j = [], []     # measured from S_bef
-        loopc_i, loopc_j = [], []   # measured from S_init
-
-        def add(lst_i, lst_j, a, b):
-            key = (min(a, b), max(a, b))
-            if a == b or key in seen:
-                return
-            seen.add(key)
-            lst_i.append(comp[a])
-            lst_j.append(comp[b])
-
-        # loop-connection edges first (reference sets them first and skips
+        # loop-connection edges (reference sets them first and skips
         # duplicates in the normal sections): always the cur-cand pair, plus
         # new strong links from corrected KFs to outside the group
-        add(loopc_i, loopc_j, cur, cand)
-        for i in grp_set:
-            news = np.flatnonzero(
-                (W_after[i] >= minfeat) & (W_before[i] < minfeat) & valid
-            )
-            for j in news:
-                if int(j) not in grp_set:
-                    add(loopc_i, loopc_j, i, int(j))
+        in_grp = np.zeros(m.nk, bool)
+        in_grp[grp_arr] = True
+        new_mask = Wa_grp_ge & ~Wb_ge[grp_arr] & valid[None, :] \
+            & ~in_grp[None, :]
+        gi_new, j_new = np.nonzero(new_mask)
+        loopc = np.concatenate([
+            np.array([[cur, cand]], np.int64),
+            np.stack([grp_arr[gi_new], j_new], -1),
+        ], 0)
         # normal edges: spanning tree + previous loop edges + strong covis,
         # all measured from the pre-correction poses
-        for s in slots:
-            p = parent[s]
-            if p >= 0 and valid[p]:
-                add(norm_i, norm_j, int(s), int(p))
-            l = loop_edge[s]
-            if l >= 0 and valid[l]:
-                add(norm_i, norm_j, int(s), int(l))
-        cov = np.argwhere(np.triu(W_before, 1) >= minfeat)
-        for a, b in cov:
-            if valid[a] and valid[b]:
-                add(norm_i, norm_j, int(a), int(b))
-        if not (norm_i or loopc_i):
+        p = parent[slots]
+        p_ok = (p >= 0) & valid[np.clip(p, 0, m.nk - 1)]
+        st = np.stack([slots[p_ok], p[p_ok]], -1)
+        le_t = loop_edge[slots]
+        le_ok = (le_t >= 0) & valid[np.clip(le_t, 0, m.nk - 1)]
+        le = np.stack([slots[le_ok], le_t[le_ok]], -1)
+        cov = np.argwhere(np.triu(Wb_ge, 1))
+        norm = np.concatenate([st, le, cov], 0)
+
+        # canonicalize + dedup, loop-connection edges take priority
+        all_e = np.concatenate([loopc, norm], 0)
+        a = np.minimum(all_e[:, 0], all_e[:, 1])
+        b = np.maximum(all_e[:, 0], all_e[:, 1])
+        keep = a != b
+        a, b = a[keep], b[keep]
+        n_loopc_cand = int(keep[:len(loopc)].sum())
+        _, first = np.unique(a * m.nk + b, return_index=True)
+        first.sort()
+        a, b = a[first], b[first]
+        is_loopc = first < n_loopc_cand
+        order = np.argsort(~is_loopc, kind="stable")  # loop edges first
+        a, b = a[order], b[order]
+        nl = int(is_loopc.sum())
+        if len(a) == 0:
             return
 
-        ei = jnp.asarray(np.array(loopc_i + norm_i, np.int32))
-        ej = jnp.asarray(np.array(loopc_j + norm_j, np.int32))
-        nl = len(loopc_i)
+        ei = jnp.asarray(comp[a].astype(np.int32))
+        ej = jnp.asarray(comp[b].astype(np.int32))
         meas_loop = pose_graph.make_edge_measurements(
             S_init, ei[:nl], ej[:nl]
         )

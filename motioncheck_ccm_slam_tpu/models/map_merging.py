@@ -216,50 +216,58 @@ def optimize_seam_essential_graph(m: ms.MapState, seam_edges,
     T = kf.Tcw[slots_j]
     S_init = lie.make_sim3(T[:, :3, :3], T[:, :3, 3],
                            jnp.ones(V, jnp.float32))
-    W = np.asarray(ms.covisibility(kf, m.nm))
-    minfeat = config.opt.ess_graph_min_feats
+    # thresholded covis fetched once as bool; edge assembly vectorized
+    # (invalid KFs have all-zero covis rows by construction)
+    W_ge = np.asarray(ms.covisibility(kf, m.nm) >= config.opt.ess_graph_min_feats)
     parent = np.asarray(kf.parent)
     loop_edge = np.asarray(kf.loop_edge)
-    seen = set()
-    ei, ej, seam_meas = [], [], []
 
-    def add(a, b, meas=None):
-        key = (min(a, b), max(a, b))
-        if a == b or key in seen:
-            return
-        seen.add(key)
-        ei.append(comp[a])
-        ej.append(comp[b])
-        seam_meas.append(meas)
+    seam = np.array(
+        [(int(c), int(ms_)) for c, ms_, _ in seam_edges
+         if valid[c] and valid[ms_]], np.int64
+    ).reshape(-1, 2)
+    seam_meas_list = [meas for c, ms_, meas in seam_edges
+                      if valid[c] and valid[ms_]]
+    p = parent[slots]
+    p_ok = (p >= 0) & valid[np.clip(p, 0, m.nk - 1)]
+    st = np.stack([slots[p_ok], p[p_ok]], -1)
+    le_t = loop_edge[slots]
+    le_ok = (le_t >= 0) & valid[np.clip(le_t, 0, m.nk - 1)]
+    le = np.stack([slots[le_ok], le_t[le_ok]], -1)
+    cov = np.argwhere(np.triu(W_ge, 1))
 
-    for cur_s, match_s, meas in seam_edges:
-        if valid[cur_s] and valid[match_s]:
-            add(int(cur_s), int(match_s), meas)
-    n_seam = len(ei)
-    for s in slots:
-        p = parent[s]
-        if p >= 0 and valid[p]:
-            add(int(s), int(p))
-        l = loop_edge[s]
-        if l >= 0 and valid[l]:
-            add(int(s), int(l))
-    cov = np.argwhere(np.triu(W, 1) >= minfeat)
-    for a, b in cov:
-        if valid[a] and valid[b]:
-            add(int(a), int(b))
-    if not ei or n_seam == 0:
+    all_e = np.concatenate([seam, st, le, cov], 0)
+    a = np.minimum(all_e[:, 0], all_e[:, 1])
+    b = np.maximum(all_e[:, 0], all_e[:, 1])
+    keep = a != b
+    a, b = a[keep], b[keep]
+    n_seam_cand = int(keep[:len(seam)].sum())
+    seam_meas_list = [mm for mm, k in
+                      zip(seam_meas_list, keep[:len(seam)]) if k]
+    _, first = np.unique(a * m.nk + b, return_index=True)
+    first.sort()
+    a, b = a[first], b[first]
+    is_seam = first < n_seam_cand
+    order = np.argsort(~is_seam, kind="stable")    # seam edges first
+    a, b = a[order], b[order]
+    n_seam = int(is_seam.sum())
+    # dedup may drop seam candidates; keep the surviving measurements in
+    # first-occurrence order
+    kept_seam_pos = first[is_seam]
+    seam_meas_list = [seam_meas_list[i] for i in kept_seam_pos]
+    if len(a) == 0 or n_seam == 0:
         return
-    ei_j = jnp.asarray(np.array(ei, np.int32))
-    ej_j = jnp.asarray(np.array(ej, np.int32))
+    ei_j = jnp.asarray(comp[a].astype(np.int32))
+    ej_j = jnp.asarray(comp[b].astype(np.int32))
     meas = pose_graph.make_edge_measurements(S_init, ei_j, ej_j)
     meas = jnp.concatenate([
-        jnp.stack([jnp.asarray(mm) for mm in seam_meas[:n_seam]], 0),
+        jnp.stack([jnp.asarray(mm) for mm in seam_meas_list], 0),
         meas[n_seam:],
     ], 0)
     edges = pose_graph.PoseGraphEdges(
         i=ei_j, j=ej_j, S_ji_meas=meas,
-        weight=jnp.ones(len(ei), jnp.float32),
-        valid=jnp.ones(len(ei), bool),
+        weight=jnp.ones(len(a), jnp.float32),
+        valid=jnp.ones(len(a), bool),
     )
     fixed = np.zeros(V, bool)
     fixed[comp[fixed_slot]] = True

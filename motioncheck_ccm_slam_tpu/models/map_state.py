@@ -163,6 +163,16 @@ def covisibility_row(kf: KFBlock, nm: int, slot: int):
     return row.at[slot].set(0.0)
 
 
+def covisibility_rows(kf: KFBlock, nm: int, slots):
+    """(S, NK) covisibility rows for a batch of keyframes — one membership
+    matmul instead of the full O(NK²) matrix when only a neighborhood's rows
+    are needed (loop-closure correction groups, merge seams)."""
+    slots = jnp.asarray(slots, jnp.int32)
+    memb = observation_membership(kf, nm).astype(jnp.float32)   # (NK, NM)
+    rows = memb[slots] @ memb.T                                 # (S, NK)
+    return rows.at[jnp.arange(slots.shape[0]), slots].set(0.0)
+
+
 def mp_observation_counts(kf: KFBlock, nm: int):
     """(NM,) i32 number of keyframes observing each landmark."""
     return observation_membership(kf, nm).sum(0).astype(jnp.int32)

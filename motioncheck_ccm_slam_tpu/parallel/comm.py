@@ -180,57 +180,33 @@ class ClientComm:
     def on_new_keyframe(self, m: ms.MapState, slot: int):
         self.pending_kfs.append(slot)
 
-    # -- message construction ------------------------------------------
-    def _kf_msg(self, m: ms.MapState, slot: int) -> KfMsg:
-        kf = m.kf
-        kf_id = int(np.asarray(kf.kf_id[slot]))
-        pred = int(np.asarray(kf.pred[slot]))
-        Tcw = np.asarray(kf.Tcw[slot])
-        if pred >= 0 and bool(np.asarray(kf.valid[pred])):
-            pred_id = int(np.asarray(kf.kf_id[pred]))
-            Tcp = Tcw @ np.linalg.inv(np.asarray(kf.Tcw[pred]))
-        else:
-            pred_id = -1
-            Tcp = Tcw
-        parent = int(np.asarray(kf.parent[slot]))
-        parent_id = int(np.asarray(kf.kf_id[parent])) if parent >= 0 else -1
-        mp_slots = np.asarray(kf.mp_idx[slot])
-        mp_ids = np.full(mp_slots.shape, -1, np.int64)
-        have = mp_slots >= 0
-        mp_ids[have] = np.asarray(m.mp.mp_id)[mp_slots[have]]
-        return KfMsg(
-            kf_id=kf_id, client_id=self.client_id,
-            timestamp=float(np.asarray(kf.timestamp[slot])),
-            Tcp=Tcp, pred_id=pred_id, parent_id=parent_id,
-            xy=np.asarray(kf.xy[slot]), angle=np.asarray(kf.angle[slot]),
-            octave=np.asarray(kf.octave[slot]),
-            desc=np.asarray(kf.desc[slot]),
-            feat_valid=np.asarray(kf.feat_valid[slot]),
-            mp_ids=mp_ids,
-        )
-
-    def _mp_msg(self, m: ms.MapState, mslot: int) -> Optional[MpMsg]:
-        mp = m.mp
-        ref = int(np.asarray(mp.ref_kf[mslot]))
-        if ref < 0 or not bool(np.asarray(m.kf.valid[ref])):
-            return None
-        ref_id = int(np.asarray(m.kf.kf_id[ref]))
-        Tcw_ref = np.asarray(m.kf.Tcw[ref])
-        X = np.asarray(mp.Xw[mslot])
-        pos_ref = Tcw_ref[:3, :3] @ X + Tcw_ref[:3, 3]
-        return MpMsg(
-            mp_id=int(np.asarray(mp.mp_id[mslot])), client_id=self.client_id,
-            pos_ref=pos_ref, ref_kf_id=ref_id,
-            desc=np.asarray(mp.desc[mslot]),
-            normal=np.asarray(mp.normal[mslot]),
-            min_dist=float(np.asarray(mp.min_dist[mslot])),
-            max_dist=float(np.asarray(mp.max_dist[mslot])),
-        )
-
     # -- main tick ------------------------------------------------------
+    # Every device->host crossing is batched: the per-map scalars/poses are
+    # snapshotted ONCE per tick and the per-feature payloads of the (<=40)
+    # keyframes actually being shipped are gathered in one indexed fetch per
+    # field. At the reference budgets (40 KF + 2500 MP per 5 Hz cycle) the
+    # naive per-entity np.asarray() pattern issued thousands of
+    # sub-millisecond host<->device round trips per second.
     def tick(self, m: ms.MapState):
         """One comm cycle: drain server messages (acks), publish pending."""
+        kf = m.kf
+        kf_ids_np = np.asarray(kf.kf_id)
+        kf_valid_np = np.asarray(kf.valid)
+        pred_np = np.asarray(kf.pred)
+        parent_np = np.asarray(kf.parent)
+        ts_np = np.asarray(kf.timestamp)
+        Tcw_np = np.array(np.asarray(kf.Tcw))       # mutable working copy
+        mp_id_np = np.asarray(m.mp.mp_id)
+        mp_valid_np = np.asarray(m.mp.valid)
+        Xw_np = np.asarray(m.mp.Xw)
+        ref_kf_np = np.asarray(m.mp.ref_kf)
+        normal_np = np.asarray(m.mp.normal)
+        min_d_np = np.asarray(m.mp.min_dist)
+        max_d_np = np.asarray(m.mp.max_dist)
+
         # process acks from server
+        vic_slots: List[int] = []
+        vic_poses: List[np.ndarray] = []
         while True:
             msg = self.channel.client_recv()
             if msg is None:
@@ -253,7 +229,8 @@ class ClientComm:
                         self.sent_unacked_mp.discard(i)
             # server-corrected vicinity poses (reference ProcessKfInClient
             # :748: client keeps only the newest server window and applies
-            # corrected poses through predecessor relativity)
+            # corrected poses through predecessor relativity); corrections
+            # chain through the host working copy and flush in one scatter
             for r in msg.keyframes_red:
                 if r.client_id != self.client_id:
                     continue
@@ -264,22 +241,23 @@ class ClientComm:
                     pred_slot = m.kf_slot_by_id.get((r.pred_id, self.client_id))
                     if pred_slot is None:
                         continue
-                    Tcw = r.Tcp @ np.asarray(m.kf.Tcw[pred_slot])
+                    Tcw = r.Tcp @ Tcw_np[pred_slot]
                 else:
                     Tcw = r.Tcp
-                m.kf = m.kf._replace(
-                    Tcw=m.kf.Tcw.at[slot].set(
-                        jnp.asarray(Tcw.astype(np.float32))
-                    )
-                )
+                Tcw_np[slot] = Tcw.astype(np.float32)
+                vic_slots.append(slot)
+                vic_poses.append(Tcw_np[slot])
+        if vic_slots:
+            m.kf = m.kf._replace(
+                Tcw=m.kf.Tcw.at[jnp.asarray(np.array(vic_slots))].set(
+                    jnp.asarray(np.stack(vic_poses)))
+            )
 
         out = MapMsg(sender_client_id=self.client_id)
         cfg = self.config.comm
         kf_budget = cfg.client_pub_max_kfs
         mp_budget = cfg.client_pub_max_mps
 
-        kf_ids_np = np.asarray(m.kf.kf_id)
-        kf_valid_np = np.asarray(m.kf.valid)
         # full KFs: pending + unacked retransmits
         slots_to_send: List[int] = []
         for slot in list(self.pending_kfs):
@@ -297,31 +275,75 @@ class ClientComm:
                 if slot is not None and kf_valid_np[slot] \
                         and slot not in slots_to_send:
                     slots_to_send.append(slot)
+        # one batched gather per per-feature field for ALL shipped KFs
+        if slots_to_send:
+            sl = jnp.asarray(np.array(slots_to_send, np.int32))
+            xy_b = np.asarray(kf.xy[sl])
+            angle_b = np.asarray(kf.angle[sl])
+            octave_b = np.asarray(kf.octave[sl])
+            desc_b = np.asarray(kf.desc[sl])
+            fv_b = np.asarray(kf.feat_valid[sl])
+            mpidx_b = np.asarray(kf.mp_idx[sl])
         mp_sent = 0
-        for slot in slots_to_send:
-            msg_kf = self._kf_msg(m, slot)
+        mp_pending: List[Tuple[int, int]] = []   # (mslot, msg position)
+        for i, slot in enumerate(slots_to_send):
+            kf_id = int(kf_ids_np[slot])
+            pred = int(pred_np[slot])
+            if pred >= 0 and kf_valid_np[pred]:
+                pred_id = int(kf_ids_np[pred])
+                Tcp = Tcw_np[slot] @ np.linalg.inv(Tcw_np[pred])
+            else:
+                pred_id = -1
+                Tcp = Tcw_np[slot]
+            parent = int(parent_np[slot])
+            parent_id = int(kf_ids_np[parent]) if parent >= 0 else -1
+            mp_slots_row = mpidx_b[i]
+            mp_ids = np.full(mp_slots_row.shape, -1, np.int64)
+            have = mp_slots_row >= 0
+            mp_ids[have] = mp_id_np[mp_slots_row[have]]
+            msg_kf = KfMsg(
+                kf_id=kf_id, client_id=self.client_id,
+                timestamp=float(ts_np[slot]),
+                Tcp=Tcp, pred_id=pred_id, parent_id=parent_id,
+                xy=xy_b[i], angle=angle_b[i], octave=octave_b[i],
+                desc=desc_b[i], feat_valid=fv_b[i], mp_ids=mp_ids,
+            )
             out.keyframes.append(msg_kf)
-            self.sent_unacked_kf.add(msg_kf.kf_id)
-            self.sent_kf_once.add(msg_kf.kf_id)
-            self.last_pub_kf_pose[msg_kf.kf_id] = np.asarray(
-                m.kf.Tcw[slot]).copy()
-            # ship this KF's new landmarks
-            mp_slots = np.unique(np.asarray(m.kf.mp_idx[slot]))
-            for mslot in mp_slots:
+            self.sent_unacked_kf.add(kf_id)
+            self.sent_kf_once.add(kf_id)
+            self.last_pub_kf_pose[kf_id] = Tcw_np[slot].copy()
+            # ship this KF's new landmarks (payload descriptors are gathered
+            # in one fetch after selection)
+            for mslot in np.unique(mp_slots_row):
                 if mslot < 0 or mp_sent >= mp_budget:
                     continue
-                mp_id = int(np.asarray(m.mp.mp_id[mslot]))
+                mp_id = int(mp_id_np[mslot])
                 if mp_id in self.acked_mp or mp_id in self.sent_unacked_mp:
                     continue
-                mm = self._mp_msg(m, int(mslot))
-                if mm is None:
+                ref = int(ref_kf_np[mslot])
+                if ref < 0 or not kf_valid_np[ref]:
                     continue
-                out.map_points.append(mm)
+                Tcw_ref = Tcw_np[ref]
+                X = Xw_np[mslot]
+                out.map_points.append(MpMsg(
+                    mp_id=mp_id, client_id=self.client_id,
+                    pos_ref=Tcw_ref[:3, :3] @ X + Tcw_ref[:3, 3],
+                    ref_kf_id=int(kf_ids_np[ref]),
+                    desc=None,                      # filled below, batched
+                    normal=normal_np[mslot],
+                    min_dist=float(min_d_np[mslot]),
+                    max_dist=float(max_d_np[mslot]),
+                ))
+                mp_pending.append((int(mslot), len(out.map_points) - 1))
                 self.sent_unacked_mp.add(mp_id)
                 self.sent_mp_once.add(mp_id)
-                self.last_pub_mp_pos[mp_id] = np.asarray(
-                    m.mp.Xw[mslot]).copy()
+                self.last_pub_mp_pos[mp_id] = X.copy()
                 mp_sent += 1
+        if mp_pending:
+            msl = jnp.asarray(np.array([s for s, _ in mp_pending], np.int32))
+            desc_mb = np.asarray(m.mp.desc[msl])
+            for j, (_, pos) in enumerate(mp_pending):
+                out.map_points[pos].desc = desc_mb[j]
         # reduced pose updates for acked KFs whose pose CHANGED since the
         # last publish (local BA moved them), budgeted like full messages
         # (reference KFred.msg + Comm.Client.KfItBound conf/config.yaml:89)
@@ -332,14 +354,14 @@ class ClientComm:
             slot = m.kf_slot_by_id.get((kf_id, self.client_id))
             if slot is None or not kf_valid_np[slot]:
                 continue
-            Tcw = np.asarray(m.kf.Tcw[slot])
+            Tcw = Tcw_np[slot]
             last = self.last_pub_kf_pose.get(kf_id)
             if last is not None and np.allclose(Tcw, last, atol=1e-6):
                 continue
-            pred = int(np.asarray(m.kf.pred[slot]))
+            pred = int(pred_np[slot])
             if pred >= 0 and kf_valid_np[pred]:
                 pred_id = int(kf_ids_np[pred])
-                Tcp = Tcw @ np.linalg.inv(np.asarray(m.kf.Tcw[pred]))
+                Tcp = Tcw @ np.linalg.inv(Tcw_np[pred])
             else:
                 pred_id = -1
                 Tcp = Tcw
@@ -355,16 +377,16 @@ class ClientComm:
             if len(out.map_points_red) >= mp_red_budget:
                 break
             mslot = m.mp_slot_by_id.get((mp_id, self.client_id))
-            if mslot is None or not bool(np.asarray(m.mp.valid[mslot])):
+            if mslot is None or not mp_valid_np[mslot]:
                 continue
-            X = np.asarray(m.mp.Xw[mslot])
+            X = Xw_np[mslot]
             last = self.last_pub_mp_pos.get(mp_id)
             if last is not None and np.allclose(X, last, atol=1e-6):
                 continue
-            ref = int(np.asarray(m.mp.ref_kf[mslot]))
+            ref = int(ref_kf_np[mslot])
             if ref < 0 or not kf_valid_np[ref]:
                 continue
-            Tcw_ref = np.asarray(m.kf.Tcw[ref])
+            Tcw_ref = Tcw_np[ref]
             out.map_points_red.append(MpRedMsg(
                 mp_id=mp_id, client_id=self.client_id,
                 pos_ref=Tcw_ref[:3, :3] @ X + Tcw_ref[:3, 3],
@@ -418,6 +440,15 @@ class ServerComm:
     closest_kf_id: int = -1
     # the agent sent an explicit goodbye (multi-process end-of-stream)
     agent_said_done: bool = False
+    # per-tick staging (batched device IO)
+    _mp_new: List = dataclasses.field(default_factory=list)
+    _mp_upd: List = dataclasses.field(default_factory=list)
+    _tcw_snap: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 4, 4), np.float32))
+    _tcw_overlay: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+    _kf_valid_snap: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, bool))
     # client-world -> map-world Sim3 (reference mg2oS_wcurmap_wclientmap,
     # include/cslam/CentralControl.h:86): identity until this agent's map is
     # fused into another map by a scale-changing Sim3; after that every
@@ -474,6 +505,23 @@ class ServerComm:
     def _resolve_kf(self, kf_id: int) -> Optional[int]:
         return self.map.kf_slot_by_id.get((kf_id, self.client_id))
 
+    # -- per-tick host snapshot (one device fetch per field) -------------
+    def _snapshot(self):
+        m = self.map
+        self._tcw_snap = np.asarray(m.kf.Tcw)
+        self._tcw_overlay: Dict[int, np.ndarray] = {}
+        self._kf_valid_snap = np.asarray(m.kf.valid)
+
+    def _tcw_host(self, slot: int) -> np.ndarray:
+        """Pose of ``slot`` as this tick sees it: this-tick writes (inserts,
+        reduced updates) overlay the start-of-tick snapshot."""
+        p = self._tcw_overlay.get(slot)
+        if p is not None:
+            return p
+        if slot < len(self._tcw_snap):
+            return self._tcw_snap[slot]
+        return np.asarray(self.map.kf.Tcw[slot])   # post-growth slot
+
     def _insert_kf(self, msg: KfMsg) -> bool:
         m = self.map
         if msg.pred_id >= 0:
@@ -481,7 +529,7 @@ class ServerComm:
             if pred_slot is None:
                 return False  # defer until predecessor arrives
             Tcw = self._rel_client_to_map(msg.Tcp) \
-                @ np.asarray(m.kf.Tcw[pred_slot])
+                @ self._tcw_host(pred_slot)
             pred = pred_slot
         else:
             Tcw = self._pose_client_to_map(msg.Tcp)
@@ -513,70 +561,106 @@ class ServerComm:
         if self.uid_dispenser is not None:
             m.kf = m.kf._replace(unique_id=m.kf.unique_id.at[slot].set(
                 self.uid_dispenser.fetch()))
+        self._tcw_overlay[slot] = Tcw.astype(np.float32)
         self.new_kf_slots.append(slot)
         return True
 
     def _insert_mp(self, msg: MpMsg) -> bool:
+        """Stage one landmark insert/update; device writes are flushed in one
+        batched scatter per tick (:meth:`_flush_mp_batch`)."""
         m = self.map
         ref_slot = self._resolve_kf(msg.ref_kf_id)
         if ref_slot is None:
             return False
-        Twc_ref = np.linalg.inv(np.asarray(m.kf.Tcw[ref_slot]))
+        Twc_ref = np.linalg.inv(self._tcw_host(ref_slot))
         # pos_ref is in the reference-KF camera frame in CLIENT metric;
         # re-metrize before lifting through the map-frame reference pose
         pos_ref = msg.pos_ref * self.map_scale
-        Xw = Twc_ref[:3, :3] @ pos_ref + Twc_ref[:3, 3]
-        import jax.numpy as jnp
+        Xw = (Twc_ref[:3, :3] @ pos_ref + Twc_ref[:3, 3]).astype(np.float32)
 
         key = (msg.mp_id, self.client_id)
-        if key in m.mp_slot_by_id:
-            slot = m.mp_slot_by_id[key]
-            m.mp = m.mp._replace(
-                Xw=m.mp.Xw.at[slot].set(jnp.asarray(Xw.astype(np.float32)))
-            )
+        slot = m.mp_slot_by_id.get(key)
+        if slot is not None:
+            self._mp_upd.append((slot, Xw))
             return True
-        slots = m.alloc_mp_slots(1, [key])
-        slot = int(slots[0])
-        m.mp = m.mp._replace(
-            mp_id=m.mp.mp_id.at[slot].set(msg.mp_id),
-            client_id=m.mp.client_id.at[slot].set(self.client_id),
-            Xw=m.mp.Xw.at[slot].set(jnp.asarray(Xw.astype(np.float32))),
-            desc=m.mp.desc.at[slot].set(jnp.asarray(msg.desc)),
-            normal=m.mp.normal.at[slot].set(jnp.asarray(msg.normal)),
-            min_dist=m.mp.min_dist.at[slot].set(msg.min_dist),
-            max_dist=m.mp.max_dist.at[slot].set(msg.max_dist),
-            ref_kf=m.mp.ref_kf.at[slot].set(ref_slot),
-            first_kf_id=m.mp.first_kf_id.at[slot].set(msg.ref_kf_id),
-            valid=m.mp.valid.at[slot].set(True),
-        )
+        self._mp_new.append((key, msg, ref_slot, Xw))
         return True
 
-    def _late_bind_mp_assocs(self, kf_msg: KfMsg):
-        """Resolve landmark associations that arrived after the KF."""
+    def _flush_mp_batch(self):
+        """One batched scatter for every landmark staged this tick."""
         m = self.map
-        slot = self._resolve_kf(kf_msg.kf_id)
-        if slot is None:
-            return
-        import jax.numpy as jnp
+        if self._mp_new:
+            keys = [k for k, _, _, _ in self._mp_new]
+            slots = m.alloc_mp_slots(len(self._mp_new), keys)
+            sj = jnp.asarray(np.asarray(slots, np.int32))
+            msgs = [msg for _, msg, _, _ in self._mp_new]
+            m.mp = m.mp._replace(
+                mp_id=m.mp.mp_id.at[sj].set(jnp.asarray(
+                    np.array([mm.mp_id for mm in msgs], np.int64))),
+                client_id=m.mp.client_id.at[sj].set(self.client_id),
+                Xw=m.mp.Xw.at[sj].set(jnp.asarray(
+                    np.stack([x for _, _, _, x in self._mp_new]))),
+                desc=m.mp.desc.at[sj].set(jnp.asarray(
+                    np.stack([mm.desc for mm in msgs]))),
+                normal=m.mp.normal.at[sj].set(jnp.asarray(
+                    np.stack([mm.normal for mm in msgs]).astype(np.float32))),
+                min_dist=m.mp.min_dist.at[sj].set(jnp.asarray(
+                    np.array([mm.min_dist for mm in msgs], np.float32))),
+                max_dist=m.mp.max_dist.at[sj].set(jnp.asarray(
+                    np.array([mm.max_dist for mm in msgs], np.float32))),
+                ref_kf=m.mp.ref_kf.at[sj].set(jnp.asarray(
+                    np.array([r for _, _, r, _ in self._mp_new], np.int32))),
+                first_kf_id=m.mp.first_kf_id.at[sj].set(jnp.asarray(
+                    np.array([mm.ref_kf_id for mm in msgs], np.int64))),
+                valid=m.mp.valid.at[sj].set(True),
+            )
+        if self._mp_upd:
+            sj = jnp.asarray(np.array([s for s, _ in self._mp_upd], np.int32))
+            m.mp = m.mp._replace(
+                Xw=m.mp.Xw.at[sj].set(jnp.asarray(
+                    np.stack([x for _, x in self._mp_upd])))
+            )
+        self._mp_new, self._mp_upd = [], []
 
-        mp_idx = np.asarray(m.kf.mp_idx[slot]).copy()
-        have = kf_msg.mp_ids >= 0
+    def _late_bind_mp_assocs(self, kf_msgs: List[KfMsg]):
+        """Resolve landmark associations that arrived after their KF — one
+        batched gather + one batched scatter for all bound KFs."""
+        m = self.map
+        pairs = []
+        for kf_msg in kf_msgs:
+            slot = self._resolve_kf(kf_msg.kf_id)
+            if slot is not None:
+                pairs.append((slot, kf_msg))
+        if not pairs:
+            return
+        sj = jnp.asarray(np.array([s for s, _ in pairs], np.int32))
+        rows = np.array(np.asarray(m.kf.mp_idx[sj]))
         changed = False
-        for f in np.flatnonzero(have):
-            if mp_idx[f] >= 0:
-                continue
-            mslot = m.mp_slot_by_id.get((int(kf_msg.mp_ids[f]), self.client_id))
-            if mslot is not None:
-                mp_idx[f] = mslot
-                changed = True
+        for i, (slot, kf_msg) in enumerate(pairs):
+            have = kf_msg.mp_ids >= 0
+            for f in np.flatnonzero(have):
+                if rows[i, f] >= 0:
+                    continue
+                mslot = m.mp_slot_by_id.get(
+                    (int(kf_msg.mp_ids[f]), self.client_id))
+                if mslot is not None:
+                    rows[i, f] = mslot
+                    changed = True
         if changed:
             m.kf = m.kf._replace(
-                mp_idx=m.kf.mp_idx.at[slot].set(jnp.asarray(mp_idx))
+                mp_idx=m.kf.mp_idx.at[sj].set(jnp.asarray(rows))
             )
 
     def tick(self) -> MapMsg:
-        """One server comm cycle: ingest messages, send acks back."""
+        """One server comm cycle: ingest messages, send acks back.
+
+        Device IO is batched: one host snapshot of the pose/valid blocks at
+        tick start, one scatter per staged batch (landmark inserts, landmark
+        updates, reduced pose updates, late-bound associations) at the end —
+        O(1) transfers per tick instead of per entity."""
         cfg = self.config.comm
+        self._snapshot()
+        self._mp_new, self._mp_upd = [], []
         self.new_kf_slots = []
         kf_processed: List[int] = []
         mp_processed: List[int] = []
@@ -633,11 +717,14 @@ class ServerComm:
                 mp_count += 1
             else:
                 self.deferred_mps.append(p)
+        # flush staged landmark writes (late-binding needs their slot ids)
+        self._flush_mp_batch()
         # late-bind associations now that landmarks exist
-        for k in bound_kf_msgs:
-            self._late_bind_mp_assocs(k)
+        self._late_bind_mp_assocs(bound_kf_msgs)
         # reduced updates: pose refresh through predecessor relativity
-        # (batched into one scatter per cycle)
+        # (batched into one scatter per cycle; chains resolve through the
+        # host overlay so a predecessor updated earlier in this drain is
+        # seen by its successors)
         red_slots, red_poses = [], []
         mp_red_slots, mp_red_pos = [], []
         for msg in incoming:
@@ -652,9 +739,10 @@ class ServerComm:
                     if pred_slot is None:
                         continue
                     Tcw = self._rel_client_to_map(r.Tcp) \
-                        @ np.asarray(self.map.kf.Tcw[pred_slot])
+                        @ self._tcw_host(pred_slot)
                 else:
                     Tcw = self._pose_client_to_map(r.Tcp)
+                self._tcw_overlay[slot] = Tcw.astype(np.float32)
                 red_slots.append(slot)
                 red_poses.append(Tcw.astype(np.float32))
             # landmark position refresh relative to the reference KF
@@ -665,7 +753,7 @@ class ServerComm:
                 ref_slot = self._resolve_kf(r.ref_kf_id)
                 if mslot is None or ref_slot is None:
                     continue
-                Twc = np.linalg.inv(np.asarray(self.map.kf.Tcw[ref_slot]))
+                Twc = np.linalg.inv(self._tcw_host(ref_slot))
                 pos_ref = r.pos_ref * self.map_scale
                 mp_red_slots.append(mslot)
                 mp_red_pos.append(
@@ -724,19 +812,20 @@ class ServerComm:
         vicinity = [int(newest)] + [
             int(s) for s in order if w[s] >= 15 and valid[s]
         ]
+        pred_np = np.asarray(m.kf.pred)
         out: List[KfRedMsg] = []
         for slot in vicinity[:max_kfs]:
             if cids[slot] != self.client_id:
                 continue  # only this agent's frames go down its channel
-            pred = int(np.asarray(m.kf.pred[slot]))
-            Tcw = np.asarray(m.kf.Tcw[slot])
+            pred = int(pred_np[slot])
+            Tcw = self._tcw_host(slot)
             # downlink re-metrization: map-frame poses -> the client's own
             # world/metric (reference src/KeyFrame.cpp:1351-1418 scales the
             # shipped translations by the client<->map Sim3 scale)
             if pred >= 0 and valid[pred]:
                 pred_id = int(kf_ids[pred])
                 Tcp = self._rel_map_to_client(
-                    Tcw @ np.linalg.inv(np.asarray(m.kf.Tcw[pred])))
+                    Tcw @ np.linalg.inv(self._tcw_host(pred)))
             else:
                 pred_id = -1
                 Tcp = self._pose_map_to_client(Tcw)

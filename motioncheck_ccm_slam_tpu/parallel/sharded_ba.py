@@ -254,35 +254,110 @@ def make_sharded_gba(mesh: Mesh, iterations: int = 5, pcg_iters: int = 25):
     return gba
 
 
-def _gba_iteration_sorted(state, obs: ba_core.BAObservations, K, fixed_cam,
-                          fixed_lm, C, L, pcg_iters, cam_seg: int,
-                          lm_order, lm_bounds, cam_idx_sorted, lm_idx):
-    """One LM iteration specialized for the single-chip matrix-free path:
-    camera reductions are reshape-sums (observations are camera-major
-    contiguous), landmark reductions are cumsum-at-boundaries over obs
-    pre-sorted by landmark — the PCG hot loop contains NO scatter and no
-    large gather tables (both serialized the 2M-obs GBA on TPU)."""
+def _rep_cam(x, seg: int):
+    """(..., C) -> (..., C*seg): per-observation camera quantity for a
+    camera-major contiguous observation stream — a broadcast+reshape, never
+    a gather (the camera-side gathers were ~4 ms each per PCG sweep)."""
+    b = jnp.broadcast_to(x[..., None], x.shape + (seg,))
+    return b.reshape(x.shape[:-1] + (x.shape[-1] * seg,))
+
+
+def _cam_sum_t(x, C: int, seg: int):
+    """(..., C*seg) -> (..., C) reshape-sum."""
+    return x.reshape(x.shape[:-1] + (C, seg)).sum(-1)
+
+
+def _lm_sum_t(x_sorted, bounds):
+    """(..., O) sorted by landmark -> (..., L) via cumsum + boundary diff
+    along the minor (lane) axis."""
+    cs = jnp.cumsum(x_sorted, -1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], -1)
+    return cs[..., bounds[1:]] - cs[..., bounds[:-1]]
+
+
+def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
+                      uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds):
+    """One LM iteration in COMPONENT-MAJOR layout: every per-observation
+    array is (components..., O) so the observation axis rides the 128-lane
+    vector dimension. The obs-major (O, 6, 3) formulation left 125/128
+    lanes idle in every elementwise op (measured 16.7 GiB/s on a 819 GB/s
+    part); component-major more than doubles that per op and, combined with
+    gather-free camera broadcasts and MXU-contracted block assembly, takes
+    ~4x off the LM iteration end to end.
+
+    Camera reductions are reshape-sums over the camera-major contiguous
+    observation stream (seg = obs per camera); landmark reductions permute
+    only the small (3, O) intermediate into landmark-sorted order and reduce
+    by parallel-prefix cumsum + boundary diff. The PCG hot loop contains no
+    scatter, no (N, Kmax) gather tables, and exactly two (3, O)-sized
+    gathers per sweep.
+    """
     Tcw, Xw, lam = state
-    r, pc, depth_ok = ba_core.reproject_residuals(Tcw, Xw, obs, K)
-    w, chi2 = ba_core.robust_obs_weights(r, obs, depth_ok)
-    cost = _robust_cost(chi2, obs.valid)
-    Rm = Tcw[obs.cam_idx][:, :3, :3]
-    Jc, Jl = ba_core.reproject_jacobians(pc, Rm, K)
-    wJc = Jc * w[:, None, None]
-    wJl = Jl * w[:, None, None]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
 
-    def cam_sum(x):
-        return x.reshape((C, cam_seg) + x.shape[1:]).sum(1)
+    # ---- residuals (component-major) --------------------------------
+    R_t = _rep_cam(jnp.moveaxis(Tcw[:, :3, :3], 0, -1), seg)   # (3,3,O)
+    t_t = _rep_cam(Tcw[:, :3, 3].T, seg)                       # (3,O)
+    X_t = Xw.T[:, lm_idx]                                      # (3,O) gather
+    pc = jnp.einsum("ijo,jo->io", R_t, X_t) + t_t              # (3,O)
+    z = pc[2]
+    depth_ok = z > 1e-6
+    zs = jnp.where(depth_ok, z, 1.0)
+    iz = 1.0 / zs
+    r_t = uv_t - jnp.stack([fx * pc[0] * iz + cx,
+                            fy * pc[1] * iz + cy])             # (2,O)
+    chi2 = jnp.sum(r_t * r_t, 0) * inv_sigma2
+    w = inv_sigma2 * ba_core.huber_weights(chi2)
+    w = jnp.where(valid & depth_ok, w, 0.0)                    # (O,)
+    cost = _robust_cost(chi2, valid)
 
-    def lm_sum_sorted(x_sorted):
-        return ba_core.sorted_seg_sum(x_sorted, lm_bounds)
+    # ---- Jacobians (component-major) ---------------------------------
+    # dproj/dpc (2,3,O); dpc/dxi = [-hat(pc) | I] (3,6,O); dpc/dX = R
+    iz2 = iz * iz
+    zo = jnp.zeros_like(z)
+    dproj = jnp.stack([
+        jnp.stack([fx * iz, zo, -fx * pc[0] * iz2]),
+        jnp.stack([zo, fy * iz, -fy * pc[1] * iz2]),
+    ])                                                         # (2,3,O)
+    one = jnp.ones_like(z)
+    hat = jnp.stack([
+        jnp.stack([zo, -pc[2], pc[1]]),
+        jnp.stack([pc[2], zo, -pc[0]]),
+        jnp.stack([-pc[1], pc[0], zo]),
+    ])                                                         # (3,3,O)
+    eye_t = jnp.stack([
+        jnp.stack([one, zo, zo]),
+        jnp.stack([zo, one, zo]),
+        jnp.stack([zo, zo, one]),
+    ])
+    dpc_dxi = jnp.concatenate([-hat, eye_t], 1)                # (3,6,O)
+    Jc = -jnp.einsum("ijo,jko->iko", dproj, dpc_dxi)           # (2,6,O)
+    Jl = -jnp.einsum("ijo,jko->iko", dproj, R_t)               # (2,3,O)
+    wJc = Jc * w
+    wJl = Jl * w
 
-    Hcc = cam_sum(jnp.einsum("oic,oid->ocd", wJc, Jc))
-    bc = cam_sum(-jnp.einsum("oic,oi->oc", wJc, r))
-    Hll = lm_sum_sorted(jnp.einsum("oic,oid->ocd", wJl, Jl)[lm_order])
-    bl = lm_sum_sorted(-jnp.einsum("oic,oi->oc", wJl, r)[lm_order])
-    Wcl = jnp.einsum("oic,oid->ocd", wJc, Jl)      # (O, 6, 3) cam order
+    # ---- block assembly ----------------------------------------------
+    # camera blocks: fold the reshape-sum into the einsum so the (6,6,O)
+    # intermediate never hits HBM — contraction over (k, seg) is a real
+    # MXU matmul per camera
+    wJc_r = wJc.reshape(2, 6, C, seg)
+    Jc_r = Jc.reshape(2, 6, C, seg)
+    r_r = r_t.reshape(2, C, seg)
+    Hcc = jnp.einsum("kics,kjcs->cij", wJc_r, Jc_r)            # (C,6,6)
+    bc = -jnp.einsum("kics,kcs->ci", wJc_r, r_r)               # (C,6)
+    # landmark blocks: permute once into landmark-sorted order, reduce by
+    # cumsum at boundaries
+    wJl_s = wJl[:, :, lm_order]                                # (2,3,O)
+    Jl_s = Jl[:, :, lm_order]
+    r_s = r_t[:, lm_order]
+    Hll = jnp.moveaxis(
+        _lm_sum_t(jnp.einsum("kio,kjo->ijo", wJl_s, Jl_s), lm_bounds),
+        -1, 0)                                                 # (L,3,3)
+    bl = -_lm_sum_t(jnp.einsum("kio,ko->io", wJl_s, r_s), lm_bounds).T
+    Wcl_t = jnp.einsum("kio,kjo->ijo", wJc, Jl)                # (6,3,O)
 
+    # ---- damping / gauge fixing ---------------------------------------
     Hcc_d = ba_core.damp_blocks(Hcc, lam)
     Hll_d = ba_core.damp_blocks(Hll, lam)
     eye6 = jnp.eye(6, dtype=Hcc.dtype)
@@ -292,38 +367,46 @@ def _gba_iteration_sorted(state, obs: ba_core.BAObservations, K, fixed_cam,
         fixed_lm[:, None, None], jnp.eye(3, dtype=Hll.dtype)[None], Hll_d
     )
     bl = jnp.where(fixed_lm[:, None], 0.0, bl)
-    Wcl = jnp.where(
-        fixed_cam[obs.cam_idx][:, None, None]
-        | fixed_lm[lm_idx][:, None, None],
-        0.0, Wcl,
-    )
+    free_obs = ~(_rep_cam(fixed_cam[None], seg)[0] | fixed_lm[lm_idx])
+    Wcl_t = jnp.where(free_obs, Wcl_t, 0.0)
     Hll_inv = ba_core.inv33(Hll_d)
-    Wcl_lm = Wcl[lm_order]                          # (O, 6, 3) lm order
+    Hll_inv_t = jnp.moveaxis(Hll_inv, 0, -1)                   # (3,3,L)
 
-    # reduced RHS: br = bc - W Hll^-1 bl
-    u0 = jnp.einsum("lij,lj->li", Hll_inv, bl)
-    br = bc - cam_sum(jnp.einsum("oij,oj->oi", Wcl, u0[lm_idx]))
+    # ---- reduced camera system ----------------------------------------
+    def lm_solve_t(x_t):                                       # (3,L)->(3,L)
+        return jnp.einsum("ijl,jl->il", Hll_inv_t, x_t)
 
-    def matvec(v):
+    def matvec(v):                                             # (C,6)
         Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
-        wtv = jnp.einsum("oij,oi->oj", Wcl_lm, v[cam_idx_sorted])
-        u = jnp.einsum("lij,lj->li", Hll_inv, lm_sum_sorted(wtv))
-        w_ = cam_sum(jnp.einsum("oij,oj->oi", Wcl, u[lm_idx]))
-        return Hv - w_
+        vg = _rep_cam(v.T, seg)                                # (6,O)
+        wtv = jnp.einsum("ijo,io->jo", Wcl_t, vg)              # (3,O)
+        u = lm_solve_t(_lm_sum_t(wtv[:, lm_order], lm_bounds)) # (3,L)
+        ug = u[:, lm_idx]                                      # (3,O) gather
+        wu = jnp.einsum("ijo,jo->io", Wcl_t, ug)               # (6,O)
+        return Hv - _cam_sum_t(wu, C, seg).T
 
+    u0 = lm_solve_t(bl.T)
+    br = bc - _cam_sum_t(
+        jnp.einsum("ijo,jo->io", Wcl_t, u0[:, lm_idx]), C, seg
+    ).T
     M_inv = jnp.linalg.inv(Hcc_d + 1e-6 * eye6[None])
     dc = _pcg(matvec, br, M_inv, pcg_iters)
     dc = jnp.where(fixed_cam[:, None], 0.0, dc)
-    # back-substitute landmarks: dl = Hll^-1 (bl - W^T dc)
-    wtv = jnp.einsum("oij,oi->oj", Wcl_lm, dc[cam_idx_sorted])
-    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - lm_sum_sorted(wtv))
+
+    # ---- landmark back-substitution -----------------------------------
+    wtv = jnp.einsum("ijo,io->jo", Wcl_t, _rep_cam(dc.T, seg))
+    dl = lm_solve_t(bl.T - _lm_sum_t(wtv[:, lm_order], lm_bounds)).T
     dl = jnp.where(fixed_lm[:, None], 0.0, dl)
 
+    # ---- accept / reject ----------------------------------------------
     T_new = ba_core.apply_pose_update(Tcw, dc, mask=~fixed_cam)
     X_new = Xw + dl
-    r2, _, _ = ba_core.reproject_residuals(T_new, X_new, obs, K)
-    chi2_new = jnp.sum(r2 * r2, -1) * obs.inv_sigma2
-    cost_new = _robust_cost(chi2_new, obs.valid)
+    R2_t = _rep_cam(jnp.moveaxis(T_new[:, :3, :3], 0, -1), seg)
+    t2_t = _rep_cam(T_new[:, :3, 3].T, seg)
+    pc2 = jnp.einsum("ijo,jo->io", R2_t, X_new.T[:, lm_idx]) + t2_t
+    z2 = jnp.where(pc2[2] > 1e-6, pc2[2], 1.0)
+    r2 = uv_t - jnp.stack([fx * pc2[0] / z2 + cx, fy * pc2[1] / z2 + cy])
+    cost_new = _robust_cost(jnp.sum(r2 * r2, 0) * inv_sigma2, valid)
     accept = cost_new < cost
     Tcw = jnp.where(accept, T_new, Tcw)
     Xw = jnp.where(accept, X_new, Xw)
@@ -332,138 +415,73 @@ def _gba_iteration_sorted(state, obs: ba_core.BAObservations, K, fixed_cam,
     return (Tcw, Xw, lam), cost_new
 
 
-def make_sorted_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
-    """Single-chip matrix-free GBA using the sorted-cumsum landmark
-    reduction (``_gba_iteration_sorted``): camera sums are reshape-sums over
-    the camera-major observation stream, landmark sums are one permutation
-    gather + parallel-prefix cumsum + boundary diff. Unlike the SegmentPlan
-    gather tables, the hot-loop cost is independent of the landmark degree
-    distribution (a table pads every landmark to the max degree; a popular
-    landmark inflates the whole gather). Requires camera-major contiguous
-    observations — exactly what map_state.gather_observations produces."""
+def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
+    """Single-chip matrix-free GBA in component-major layout
+    (:func:`_gba_iteration_cm`). This is what ``run_gba`` picks on one
+    device when the dense-W Schur solve would not fit (server operating
+    point: 2048 KFs x 65k MPs would need a ~9.7 GB dense W — reference
+    scale, per src/Optimizer.cpp:646 MapFusionGBA).
+
+    Requires camera-major contiguous observations (O = C * F) — exactly
+    what map_state.gather_observations produces. The landmark sort order is
+    built on host once per problem and cached by array identity (strong
+    refs, so a recycled id() can never alias a stale plan)."""
 
     bodies = {}
     plan_cache: list = [None]
 
-    def _get_body(cam_seg: int):
-        if cam_seg not in bodies:
+    def _get_body(seg: int):
+        if seg not in bodies:
             def body_fn(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
-                        cam_idx, lm_idx, uv, inv_sigma2, valid,
-                        lm_order, lm_bounds, cam_idx_sorted):
-                obs = ba_core.BAObservations(
-                    cam_idx=cam_idx, lm_idx=lm_idx, uv=uv,
-                    inv_sigma2=inv_sigma2, valid=valid,
-                )
+                        uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds):
                 C = Tcw.shape[0]
                 L = Xw.shape[0]
 
                 def it(_, st):
-                    st, _cost = _gba_iteration_sorted(
-                        st, obs, K, fixed_cam, fixed_lm, C, L, pcg_iters,
-                        cam_seg, lm_order, lm_bounds, cam_idx_sorted, lm_idx,
+                    st, _cost = _gba_iteration_cm(
+                        st, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
+                        uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds,
                     )
                     return st
 
                 Tcw_o, Xw_o, lam = jax.lax.fori_loop(
                     0, n_iters, it, (Tcw, Xw, jnp.float32(1e-4))
                 )
-                r, _, depth_ok = ba_core.reproject_residuals(
-                    Tcw_o, Xw_o, obs, K
-                )
-                chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
-                inlier = obs.valid & (chi2 <= ba_core.CHI2_MONO) & depth_ok
+                # final inlier classification
+                R_t = _rep_cam(jnp.moveaxis(Tcw_o[:, :3, :3], 0, -1), seg)
+                t_t = _rep_cam(Tcw_o[:, :3, 3].T, seg)
+                pc = jnp.einsum("ijo,jo->io", R_t, Xw_o.T[:, lm_idx]) + t_t
+                depth_ok = pc[2] > 1e-6
+                zs = jnp.where(depth_ok, pc[2], 1.0)
+                r = uv_t - jnp.stack([
+                    K[0, 0] * pc[0] / zs + K[0, 2],
+                    K[1, 1] * pc[1] / zs + K[1, 2],
+                ])
+                chi2 = jnp.sum(r * r, 0) * inv_sigma2
+                inlier = valid & (chi2 <= ba_core.CHI2_MONO) & depth_ok
                 cost = _robust_cost(chi2, inlier)
                 return Tcw_o, Xw_o, inlier, cost
-            bodies[cam_seg] = jax.jit(body_fn)
-        return bodies[cam_seg]
+            bodies[seg] = jax.jit(body_fn)
+        return bodies[seg]
 
     def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
             n_iterations=None):
         n_it = jnp.int32(iterations if n_iterations is None else n_iterations)
         C, L = Tcw.shape[0], Xw.shape[0]
         O = obs.cam_idx.shape[0]
-        assert O % C == 0, "sorted GBA needs camera-major contiguous obs"
+        assert O % C == 0, "matrix-free GBA needs camera-major contiguous obs"
         ent = plan_cache[0]
         if (ent is None or ent[0] is not obs.lm_idx
                 or ent[1] is not obs.cam_idx or ent[2] != (C, L)):
             ss = ba_core.build_sorted_segments(np.asarray(obs.lm_idx), L)
-            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss,
-                   obs.cam_idx[ss.order])
+            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss)
             plan_cache[0] = ent
-        ss, cam_idx_sorted = ent[3], ent[4]
+        ss = ent[3]
         body = _get_body(O // C)
         Tcw_o, Xw_o, inlier, cost = body(
             Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
-            obs.cam_idx, obs.lm_idx, obs.uv, obs.inv_sigma2, obs.valid,
-            ss.order, ss.bounds, cam_idx_sorted,
-        )
-        return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
-
-    return gba
-
-
-def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
-    """Single-chip matrix-free GBA: the same LM/PCG body as the sharded
-    solver, without collectives. This is what ``run_gba`` picks when the
-    dense-W Schur solve would not fit (server operating point: 2048 KFs x
-    65k MPs would need a ~9.7 GB dense W — reference scale, one chip).
-
-    Segment-gather plans (built on host once per problem, cached by obs
-    identity) replace every per-entity scatter-add: at 2M observations TPU
-    scatter serialization dominated the PCG loop (measured ~5x)."""
-
-    bodies = {}
-    _dummy_t = jnp.zeros((1, 1), jnp.int32)
-    _dummy_m = jnp.zeros((1, 1), bool)
-
-    def _get_body(cam_seg: int, lm_seg: int):
-        key = (cam_seg, lm_seg)
-        if key not in bodies:
-            def body_fn(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
-                        cam_idx, lm_idx, uv, inv_sigma2, valid,
-                        cam_table, cam_mask, lm_table, lm_mask):
-                return _gba_body(
-                    Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
-                    cam_idx, lm_idx, uv, inv_sigma2, valid,
-                    pcg_iters, lambda x: x,
-                    cam_plan=ba_core.SegmentPlan(cam_table, cam_mask,
-                                                 cam_seg),
-                    lm_plan=ba_core.SegmentPlan(lm_table, lm_mask, lm_seg),
-                )
-            bodies[key] = jax.jit(body_fn)
-        return bodies[key]
-
-    # one live problem at a time; the cache entry keeps STRONG references to
-    # the keyed index arrays and revalidates by object identity — an id()
-    # key would silently alias a recycled address after the previous job's
-    # arrays are garbage-collected, reusing a stale landmark plan built for
-    # different associations
-    plan_cache: list = [None]  # (cam_idx, lm_idx, C, L, cam_plan, lm_plan)
-
-    def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
-            n_iterations=None):
-        n_it = jnp.int32(iterations if n_iterations is None else n_iterations)
-        C, L = Tcw.shape[0], Xw.shape[0]
-        ent = plan_cache[0]
-        if (ent is None or ent[0] is not obs.cam_idx
-                or ent[1] is not obs.lm_idx or ent[2] is not obs.valid
-                or ent[3] != (C, L)):
-            ent = (
-                obs.cam_idx, obs.lm_idx, obs.valid, (C, L),
-                ba_core.build_segment_plan(np.asarray(obs.cam_idx), C),
-                ba_core.build_segment_plan(np.asarray(obs.lm_idx), L,
-                                           valid=np.asarray(obs.valid)),
-            )
-            plan_cache[0] = ent
-        cam_plan, lm_plan = ent[4], ent[5]
-        body = _get_body(cam_plan.seg_size, lm_plan.seg_size)
-        Tcw_o, Xw_o, inlier, cost = body(
-            Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
-            obs.cam_idx, obs.lm_idx, obs.uv, obs.inv_sigma2, obs.valid,
-            cam_plan.table if cam_plan.table is not None else _dummy_t,
-            cam_plan.mask if cam_plan.mask is not None else _dummy_m,
-            lm_plan.table if lm_plan.table is not None else _dummy_t,
-            lm_plan.mask if lm_plan.mask is not None else _dummy_m,
+            obs.uv.T, obs.inv_sigma2, obs.valid, obs.lm_idx,
+            ss.order, ss.bounds,
         )
         return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
 

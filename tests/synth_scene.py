@@ -132,3 +132,93 @@ class SynthScene:
             t = i / fps
             Tcw = self.pose(t)
             yield t, Tcw, self.render(Tcw)
+
+
+class RingScene(SynthScene):
+    """Corridor-loop world: blobs on a cylindrical band, camera on an inner
+    circle facing outward. A full revolution organically revisits the start
+    — the trajectory shape behind EuRoC-style loop closures — and agents
+    started at different angles of the SAME ring overlap pairwise, driving
+    cross-map matches, cascaded merges, and post-merge loop closures.
+
+    ``start_deg`` offsets the agent's start angle; ``omega`` (rad/s) sets
+    angular speed (0.26 ~= 1.3 m/s at radius 5, the EuRoC MAV operating
+    point; one revolution ~= 480 frames at 20 fps).
+    """
+
+    RING_BG = 12.0       # background cylinder radius
+    RING_BAND = 11.0     # landmark band radius
+    CAM_R = 5.0          # camera circle radius
+
+    def __init__(self, config: Config, n_points=1400, seed=0,
+                 start_deg: float = 0.0, omega: float = 0.26):
+        super().__init__(config, n_points=n_points, seed=seed)
+        rng = np.random.default_rng(seed + 17)
+        self.start = np.deg2rad(start_deg)
+        self.omega = omega
+        th = rng.uniform(0, 2 * np.pi, n_points)
+        r = self.RING_BAND + rng.uniform(-0.7, 0.7, n_points)
+        y = rng.uniform(-2.2, 2.2, n_points)
+        self.pts = np.stack(
+            [r * np.cos(th), y, r * np.sin(th)], -1
+        ).astype(np.float32)
+        # angular background texture (indexed by azimuth, height)
+        self.bg_cells = rng.uniform(70.0, 150.0, size=(24, 96)).astype(
+            np.float32)
+
+    def pose(self, t: float) -> np.ndarray:
+        th = self.start + self.omega * t
+        y = 0.25 * np.sin(3.0 * th)      # vertical bob: non-planar motion
+        C = np.array([self.CAM_R * np.cos(th), y,
+                      self.CAM_R * np.sin(th)], np.float32)
+        fwd = np.array([np.cos(th), 0.0, np.sin(th)], np.float32)
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        x = np.cross(up, fwd)
+        x /= np.linalg.norm(x)
+        yax = np.cross(fwd, x)
+        R_wc = np.stack([x, yax, fwd], -1)
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = R_wc.T
+        Tcw[:3, 3] = -R_wc.T @ C
+        return Tcw
+
+    def _render_background(self, Tcw: np.ndarray, h: int, w: int):
+        """Rays hit the background CYLINDER x^2 + z^2 = R^2; texture is
+        indexed by (azimuth, world y) so it scrolls consistently."""
+        K = self.K
+        Twc = np.linalg.inv(Tcw)
+        yy, xx = np.mgrid[0:h, 0:w]
+        rays = np.stack(
+            [
+                (xx + 0.5 - K[0, 2]) / K[0, 0],
+                (yy + 0.5 - K[1, 2]) / K[1, 1],
+                np.ones_like(xx, np.float32),
+            ],
+            -1,
+        ).astype(np.float32)
+        d = rays @ Twc[:3, :3].T
+        C = Twc[:3, 3]
+        a = d[..., 0] ** 2 + d[..., 2] ** 2
+        b = 2.0 * (C[0] * d[..., 0] + C[2] * d[..., 2])
+        c = C[0] ** 2 + C[2] ** 2 - self.RING_BG ** 2
+        disc = np.maximum(b * b - 4 * a * c, 0.0)
+        s = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-9)
+        px = C[0] + s * d[..., 0]
+        py = C[1] + s * d[..., 1]
+        pz = C[2] + s * d[..., 2]
+        az = np.arctan2(pz, px)                       # [-pi, pi]
+        gh, gw = self.bg_cells.shape
+        u = (az + np.pi) / (2 * np.pi) * gw           # wraps
+        v = np.clip((py + 6.0) / 12.0 * (gh - 1), 0, gh - 1.001)
+        u0 = u.astype(np.int32) % gw
+        u1 = (u0 + 1) % gw
+        v0 = v.astype(np.int32)
+        fu = u - np.floor(u)
+        fv = v - v0
+        cgrid = self.bg_cells
+        return (
+            cgrid[v0, u0] * (1 - fu) * (1 - fv)
+            + cgrid[v0, u1] * fu * (1 - fv)
+            + cgrid[np.minimum(v0 + 1, gh - 1), u0] * (1 - fu) * fv
+            + cgrid[np.minimum(v0 + 1, gh - 1), u1] * fu * fv
+        ).astype(np.float32)

@@ -1,10 +1,12 @@
-"""Benchmark the matrix-free GBA variants on the real chip at the server
+"""Benchmark the single-chip matrix-free GBA on the real chip at the server
 operating point (2048 KFs, 65k landmarks, ~2M observations) and report
 ms/LM-iteration + achieved-vs-roofline fraction.
 
-Variants:
-  plan    — SegmentPlan gather tables for the landmark reductions
-  sorted  — permutation gather + parallel-prefix cumsum + boundary diff
+(Historical note: this tool once compared a SegmentPlan-gather variant
+against the sorted-cumsum variant — the sorted layout won on chip
+[1076 vs 1229 ms/LM-iter] and then moved to component-major layout, which
+is the one production solver now. The mesh-sharded solver keeps gather
+plans because a global sort does not shard.)
 
 Usage: python tools/bench_gba_variants.py [--kfs 2048] [--mps 65536]
        [--obs-per-kf 1000] [--iters 10] [--pcg 25]
@@ -65,29 +67,26 @@ def main():
         jax.block_until_ready(r.Tcw)
         dt = time.perf_counter() - t0
         ms = dt / args.iters * 1e3
-        print(f"{name:8s} {ms:9.1f} ms/LM-iter  "
+        print(f"{name:12s} {ms:9.1f} ms/LM-iter  "
               f"({args.iters / dt:.3f} it/s)  cost={float(r.cost):.1f}")
         return ms
 
-    ms_plan = bench("plan", sharded_ba.make_matrix_free_gba(
-        pcg_iters=args.pcg))
-    ms_sorted = bench("sorted", sharded_ba.make_sorted_matrix_free_gba(
+    ms_cm = bench("comp-major", sharded_ba.make_matrix_free_gba(
         pcg_iters=args.pcg))
 
     # roofline: the PCG sweep is HBM-bound. Per sweep the matvec streams
-    # Wcl twice (O x 18 f32), the per-obs gathers/products (~O x 24 f32),
-    # and the segment reductions (~O x 9 f32 landmark-side + cam reshape)
-    bytes_sweep = 4 * O * (18 * 2 + 24 + 9 + 6)
-    # per LM iteration: residual+jacobian+assembly streams roughly
-    # r/pc/Jc/Jl/Wcl + block segment sums ~ O x 60 f32, plus pcg sweeps
-    bytes_iter = 4 * O * 60 + args.pcg * bytes_sweep
+    # Wcl twice (O x 18 f32), the (3,O)/(6,O) intermediates (~O x 15 f32),
+    # and two (3,O) gathers (O x 6 f32 + index traffic)
+    bytes_sweep = 4 * O * (18 * 2 + 15 + 6 + 2)
+    # per LM iteration: residual/jacobian/assembly streams ~ O x 70 f32
+    # (Jc/Jl construction, MXU block contraction, sorted permutes + cumsums)
+    bytes_iter = 4 * O * 70 + args.pcg * bytes_sweep
     hbm = 819e9   # v5e HBM bandwidth
     sol_ms = bytes_iter / hbm * 1e3
-    best = min(ms_plan, ms_sorted)
     print(f"roofline: ~{bytes_iter / 2**30:.2f} GiB/LM-iter -> "
           f"{sol_ms:.1f} ms/LM-iter at {hbm / 1e9:.0f} GB/s; "
-          f"achieved {sol_ms / best * 100:.0f}% of speed-of-light "
-          f"(best={best:.1f} ms)")
+          f"achieved {sol_ms / ms_cm * 100:.0f}% of speed-of-light "
+          f"({ms_cm:.1f} ms)")
 
 
 if __name__ == "__main__":

@@ -45,13 +45,18 @@ def main():
     print(f"devices={jax.devices()}  O={O} C={C} L={L} seg={cam_seg}")
 
     rng = np.random.default_rng(0)
-    Wcl = jnp.asarray(rng.normal(0, 1, (O, 6, 3)).astype(np.float32))
-    Wcl_t = jnp.asarray(np.ascontiguousarray(
-        np.moveaxis(np.asarray(Wcl), 0, -1)))                    # (6,3,O)
-    v = jnp.asarray(rng.normal(0, 1, (C, 6)).astype(np.float32))
-    v_t = jnp.asarray(np.asarray(v).T.copy())                    # (6,C)
-    u = jnp.asarray(rng.normal(0, 1, (L, 3)).astype(np.float32))
-    u_t = jnp.asarray(np.asarray(u).T.copy())                    # (3,L)
+    # generate the big operands ON DEVICE: pushing ~500 MB through the
+    # remote-TPU tunnel dominates the whole benchmark otherwise
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    Wcl = jax.block_until_ready(
+        jax.random.normal(k1, (O, 6, 3), jnp.float32))
+    Wcl_t = jax.block_until_ready(
+        jax.jit(lambda w: jnp.moveaxis(w, 0, -1).copy())(Wcl))   # (6,3,O)
+    v = jax.random.normal(k2, (C, 6), jnp.float32)
+    v_t = v.T.copy()                                             # (6,C)
+    u = jax.random.normal(k3, (L, 3), jnp.float32)
+    u_t = u.T.copy()                                             # (3,L)
     cam_idx = np.repeat(np.arange(C), cam_seg).astype(np.int32)
     lm_idx = rng.integers(0, L, O).astype(np.int32)
     order = np.argsort(lm_idx, kind="stable")
@@ -63,8 +68,9 @@ def main():
     lm_sorted_j = jnp.asarray(np.sort(lm_idx).astype(np.int32))
     order_j = jnp.asarray(order.astype(np.int32))
     bounds_j = jnp.asarray(bounds.astype(np.int32))
-    x3 = jnp.asarray(rng.normal(0, 1, (O, 3)).astype(np.float32))
-    x3_t = jnp.asarray(np.asarray(x3).T.copy())                  # (3,O)
+    x3 = jax.block_until_ready(
+        jax.random.normal(jax.random.PRNGKey(7), (O, 3), jnp.float32))
+    x3_t = jax.block_until_ready(jax.jit(lambda x: x.T.copy())(x3))  # (3,O)
 
     WB = 4 * O * 18
 
