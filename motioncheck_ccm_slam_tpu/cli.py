@@ -340,30 +340,68 @@ def cmd_euroc(args):
         clients[0].process_image(img, ts)
         server.spin_once()
     stats = _finish(server, clients, args.out, t0)
-    # ATE vs ground truth, the reference's offline evaluation of its
-    # KF_FINAL_* dumps (SURVEY.md §4): Sim3-align the server keyframe
-    # trajectory (body frame) against interpolated groundtruth positions.
-    if seq.ground_truth() is not None:
-        h = server.handlers[0]
-        kf = h.map.kf
-        valid = np.asarray(kf.valid) & (np.asarray(kf.client_id) == 0)
-        ts_kf = np.asarray(kf.timestamp)[valid]
-        Ts = np.asarray(kf.Tcw)[valid]
-        order = np.argsort(ts_kf)
-        rows = csv_io.trajectory_rows(
-            [(float(ts_kf[i]), Ts[i]) for i in order], config
+    _report_dataset_ate(server, config, seq, stats, args.out)
+    return stats
+
+
+def _report_dataset_ate(server, config, seq, stats, out):
+    """ATE vs ground truth, the reference's offline evaluation of its
+    KF_FINAL_* dumps (SURVEY.md §4): Sim3-align the server keyframe
+    trajectory (body frame) against interpolated groundtruth positions."""
+    import numpy as np
+
+    from .utils import csv_io
+
+    if seq.ground_truth() is None:
+        return
+    h = server.handlers[0]
+    kf = h.map.kf
+    valid = np.asarray(kf.valid) & (np.asarray(kf.client_id) == 0)
+    ts_kf = np.asarray(kf.timestamp)[valid]
+    Ts = np.asarray(kf.Tcw)[valid]
+    order = np.argsort(ts_kf)
+    rows = csv_io.trajectory_rows(
+        [(float(ts_kf[i]), Ts[i]) for i in order], config
+    )
+    if len(rows) < 3:
+        return
+    stamps = np.array([r[0] for r in rows])
+    est = np.stack([r[1] for r in rows])
+    gt_pos = seq.gt_positions_at(stamps)
+    rmse, mx = csv_io.ate_rmse(est, gt_pos)
+    stats["ate_rmse_m"] = round(rmse, 4)
+    stats["ate_max_m"] = round(mx, 4)
+    with open(os.path.join(out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(f"ATE RMSE {rmse*100:.2f} cm  max {mx*100:.2f} cm "
+          f"over {len(rows)} KFs")
+
+
+def cmd_kitti(args):
+    """KITTI odometry grayscale replay at the reference's KITTI operating
+    point (cslam/conf/kitti_mono.yaml / kitti_mono_half_res.yaml,
+    launch/KITTI/Client0_kitti*.launch)."""
+    from .config import CameraParams, KITTI_CONFIG, KITTI_HALF_RES_CONFIG
+    from .utils.kitti import KittiSequence
+
+    config = KITTI_HALF_RES_CONFIG if args.half_res else KITTI_CONFIG
+    if getattr(args, "synth_camera", False):
+        # pure-pinhole synthetic-fixture camera (see cmd_euroc)
+        from .config import Config
+
+        config = Config().replace(
+            camera=CameraParams(k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
         )
-        if len(rows) >= 3:
-            stamps = np.array([r[0] for r in rows])
-            est = np.stack([r[1] for r in rows])
-            gt_pos = seq.gt_positions_at(stamps)
-            rmse, mx = csv_io.ate_rmse(est, gt_pos)
-            stats["ate_rmse_m"] = round(rmse, 4)
-            stats["ate_max_m"] = round(mx, 4)
-            with open(os.path.join(args.out, "stats.json"), "w") as f:
-                json.dump(stats, f, indent=2)
-            print(f"ATE RMSE {rmse*100:.2f} cm  max {mx*100:.2f} cm "
-                  f"over {len(rows)} KFs")
+    if getattr(args, "small", False):
+        config = _small_preset(config)
+    t0 = time.time()
+    server, clients = _build_system(config, 1)
+    seq = KittiSequence(args.seq, poses=args.poses, half_res=args.half_res)
+    for ts, img in seq.frames(stop=args.frames, stride=args.stride):
+        clients[0].process_image(img, ts)
+        server.spin_once()
+    stats = _finish(server, clients, args.out, t0)
+    _report_dataset_ate(server, config, seq, stats, args.out)
     return stats
 
 
@@ -428,6 +466,23 @@ def main():
     pe.add_argument("--synth-camera", action="store_true",
                     help="zero-distortion pinhole (for synthetic fixtures)")
     pe.set_defaults(fn=cmd_euroc)
+    pk = sub.add_parser("kitti", help="KITTI odometry sequence replay")
+    pk.add_argument("--seq", required=True,
+                    help="sequence dir (contains image_0, times.txt)")
+    pk.add_argument("--poses", default=None,
+                    help="ground-truth poses file (default: "
+                         "../../poses/NN.txt next to the sequence)")
+    pk.add_argument("--half-res", action="store_true",
+                    help="half-resolution operating point "
+                         "(kitti_mono_half_res.yaml)")
+    pk.add_argument("--frames", type=int, default=None)
+    pk.add_argument("--stride", type=int, default=1)
+    pk.add_argument("--out", default="/tmp/mcslam_kitti")
+    pk.add_argument("--small", action="store_true",
+                    help="reduced capacities for CPU-scale smoke runs")
+    pk.add_argument("--synth-camera", action="store_true",
+                    help="use the synthetic-fixture camera (tests)")
+    pk.set_defaults(fn=cmd_kitti)
     args = p.parse_args()
     args.fn(args)
 

@@ -221,3 +221,30 @@ class Config:
 
 
 DEFAULT_CONFIG = Config()
+
+_KITTI_T_SC = (1.0, 0.0, 0.0, 0.0,
+               0.0, 1.0, 0.0, 0.0,
+               0.0, 0.0, 1.0, 0.0,
+               0.0, 0.0, 0.0, 1.0)
+
+# KITTI odometry grayscale operating point (reference
+# cslam/conf/kitti_mono.yaml: fx/fy 718.856, cx 607.1928, cy 185.2157,
+# zero distortion, 10 fps, identity T_SC). Image size is the KITTI
+# odometry cam0 frame (sequences 00-02).
+KITTI_CONFIG = Config().replace(
+    camera=CameraParams(
+        fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+        k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+        fps=10.0, width=1241, height=376, t_sc=_KITTI_T_SC,
+    )
+)
+
+# Half-resolution variant (reference cslam/conf/kitti_mono_half_res.yaml:
+# every intrinsic halved).
+KITTI_HALF_RES_CONFIG = Config().replace(
+    camera=CameraParams(
+        fx=359.428, fy=359.428, cx=303.5964, cy=92.60785,
+        k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+        fps=10.0, width=620, height=188, t_sc=_KITTI_T_SC,
+    )
+)

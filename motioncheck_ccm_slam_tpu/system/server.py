@@ -71,8 +71,11 @@ class ServerClientHandler:
                 map_id=self.client_id,
             )
 
-    def change_map(self, new_map: ms.MapState, kf_slot_map: Dict[int, int]):
+    def change_map(self, new_map: ms.MapState, kf_slot_map: Dict[int, int],
+                   mp_slot_map: Optional[Dict[int, int]] = None):
         """Re-point to a fused map (reference ClientHandler::ChangeMap)."""
+        old_tick = self.mp_tick
+        old_map = self.map
         self.map = new_map
         self.comm.map = new_map
         self.loop_closer.map = new_map
@@ -86,9 +89,26 @@ class ServerClientHandler:
                    map_id=self.client_id)
         self.loop_closer.database = db
         self.loop_closer.consistent_groups = []
-        # merged-in landmarks are mature: exempt from probation culling
+        # landmarks from the other map are mature (exempt, -2); this
+        # handler's own mid-probation entries carry their tick through the
+        # slot remap so the merge does not reset their trial (reference
+        # keeps mlpRecentAddedMapPoints per server LocalMapping across
+        # ChangeMap — src/Mapping.cpp:737-775, src/ClientHandler.cpp:221)
         self.mp_tick = np.where(np.asarray(new_map.mp.valid), -2, -1
                                 ).astype(np.int32)
+        if mp_slot_map and old_map is not new_map:
+            old_ids = np.asarray(old_map.mp.mp_id)
+            old_cids = np.asarray(old_map.mp.client_id)
+            new_ids = np.asarray(new_map.mp.mp_id)
+            new_cids = np.asarray(new_map.mp.client_id)
+            for old, new in mp_slot_map.items():
+                # only identity-preserving remaps carry; a landmark FUSED
+                # into an existing target landmark dies (reference
+                # MapPoint::Replace SetBadFlags it out of the recent list)
+                if (old < len(old_tick) and old_tick[old] >= 0
+                        and new_ids[new] == old_ids[old]
+                        and new_cids[new] == old_cids[old]):
+                    self.mp_tick[new] = old_tick[old]
 
     def _interrupt_check(self):
         """INTERRUPTBA: fresh agent data queued on the channel aborts a
@@ -266,10 +286,26 @@ class ServerSystem:
             mp_fuse_pairs=hit.mp_pairs, config=self.config,
         )
         # every handler pointing at the old map re-points to the fused one
+        merged_in = [ns for ns in mp_map.values() if ns < m_match.nm]
         for cid, h in self.handlers.items():
             if h in moved:
-                h.change_map(m_match, kf_map)
+                h.change_map(m_match, kf_map, mp_map)
                 h.comm.compose_fusion_sim3(S_fusion)
+            else:
+                # match-side handlers keep their own probation books, but
+                # the merged-in landmarks land in slots they saw as free
+                # (tick -1): without exemption they would enter probation
+                # as "fresh" arrivals and could cull mature landmarks
+                if len(h.mp_tick) < m_match.nm:
+                    h.mp_tick = np.concatenate([
+                        h.mp_tick,
+                        np.full(m_match.nm - len(h.mp_tick), -1, np.int32),
+                    ])
+                idx = np.asarray(merged_in, np.int64)
+                if len(idx):
+                    h.mp_tick[idx] = np.where(
+                        h.mp_tick[idx] == -1, -2, h.mp_tick[idx]
+                    )
             self.matcher.maps[cid] = self.handlers[cid].map
         # fuse duplicates around the seam, rigidify with the fusion
         # essential graph, then the Motion-Check-gated GBA (reference

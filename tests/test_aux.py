@@ -158,3 +158,17 @@ def test_live_viewer_serves_and_updates():
         assert len(s1["points"]) > 10
     finally:
         lv.close()
+
+
+def test_readme_perf_block_not_stale():
+    """README perf claims are generated from the committed BENCH artifacts;
+    hand-edits or stale numbers fail here (r1/r2 verdicts both caught the
+    README drifting from the measured numbers)."""
+    import subprocess
+    import sys
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "update_readme_perf.py"),
+         "--check"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
