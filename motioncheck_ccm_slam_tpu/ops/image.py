@@ -71,27 +71,6 @@ def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
     return out
 
 
-def bilinear_sample(img, xy):
-    """Sample (H, W) image at float coords xy (..., 2) = (x, y) with clamping."""
-    h, w = img.shape
-    x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
-    y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
-
-
 def nearest_sample(img, xy):
     """Sample (H, W) image at rounded coords xy (..., 2) = (x, y)."""
     h, w = img.shape

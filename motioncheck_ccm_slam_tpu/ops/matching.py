@@ -308,17 +308,3 @@ def search_by_sim3(
     return MatchResult(fwd.idx, fwd.dist,
                        fwd.ok & bwd.ok[fwd.idx] & mutual & valid1)
 
-
-def fuse_by_projection(
-    mp_desc, uv_proj, mp_octave_pred, mp_valid,
-    kf_desc, kf_uv, kf_octave, kf_valid,
-    radius, max_dist: int = TH_LOW,
-) -> MatchResult:
-    """Landmark fusion matching (reference ORBmatcher::Fuse): project map
-    points into a keyframe and match strictly. The caller decides
-    replace-vs-add using the returned associations."""
-    return search_by_projection(
-        mp_desc, uv_proj, mp_octave_pred, mp_valid,
-        kf_desc, kf_uv, kf_octave, kf_valid,
-        radius, max_dist=max_dist, nn_ratio=1.0,
-    )

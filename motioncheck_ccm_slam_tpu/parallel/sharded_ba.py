@@ -155,7 +155,12 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
         cam_idx=obs_shard.cam_idx, lm_idx=obs_shard.lm_idx, C=C, L=L,
         reduce=reduce, cam_plan=cam_plan, lm_plan=lm_plan,
     )
-    M_inv = jnp.linalg.inv(Hcc_d + 1e-6 * eye6[None])
+    # block-Jacobi on the TRUE Schur diagonal (see _gba_iteration_cm)
+    WG = jnp.einsum("oij,ojk->oik", Wcl, Hll_inv[obs_shard.lm_idx])
+    S_obs = jnp.einsum("oik,ojk->oij", WG, Wcl)
+    S_diag = Hcc_d - reduce(
+        ba_core._seg_or_scatter(cam_plan, obs_shard.cam_idx, S_obs, C))
+    M_inv = jnp.linalg.inv(S_diag + 1e-6 * eye6[None])
     dc = _pcg(matvec, br, M_inv, pcg_iters)
     dc = jnp.where(fixed_cam[:, None], 0.0, dc)
     # back-substitute landmarks: dl = Hll^-1 (bl - W^T dc)
@@ -275,31 +280,14 @@ def _lm_sum_t(x_sorted, bounds):
     return cs[..., bounds[1:]] - cs[..., bounds[:-1]]
 
 
-def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
-                      uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds):
-    """One LM iteration in COMPONENT-MAJOR layout: every per-observation
-    array is (components..., O) so the observation axis rides the 128-lane
-    vector dimension. The obs-major (O, 6, 3) formulation left 125/128
-    lanes idle in every elementwise op (measured 16.7 GiB/s on a 819 GB/s
-    part); component-major more than doubles that per op and, combined with
-    gather-free camera broadcasts and MXU-contracted block assembly, takes
-    ~4x off the LM iteration end to end.
-
-    Camera reductions are reshape-sums over the camera-major contiguous
-    observation stream (seg = obs per camera); landmark reductions permute
-    only the small (3, O) intermediate into landmark-sorted order and reduce
-    by parallel-prefix cumsum + boundary diff. The PCG hot loop contains no
-    scatter, no (N, Kmax) gather tables, and exactly two (3, O)-sized
-    gathers per sweep.
-    """
-    Tcw, Xw, lam = state
+def _obs_pipeline(R_t, t_t, X_t, uv_t, inv_sigma2, valid, K):
+    """Residual + Jacobian pipeline for one observation stream in
+    component-major layout (every array (components..., O) — the obs axis
+    rides the 128-lane vector dim). Pure per-element arithmetic: producing
+    the same observations in a different order yields bitwise-identical
+    values, which the dual-layout iteration below relies on."""
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
-
-    # ---- residuals (component-major) --------------------------------
-    R_t = _rep_cam(jnp.moveaxis(Tcw[:, :3, :3], 0, -1), seg)   # (3,3,O)
-    t_t = _rep_cam(Tcw[:, :3, 3].T, seg)                       # (3,O)
-    X_t = Xw.T[:, lm_idx]                                      # (3,O) gather
     pc = jnp.einsum("ijo,jo->io", R_t, X_t) + t_t              # (3,O)
     z = pc[2]
     depth_ok = z > 1e-6
@@ -310,9 +298,6 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     chi2 = jnp.sum(r_t * r_t, 0) * inv_sigma2
     w = inv_sigma2 * ba_core.huber_weights(chi2)
     w = jnp.where(valid & depth_ok, w, 0.0)                    # (O,)
-    cost = _robust_cost(chi2, valid)
-
-    # ---- Jacobians (component-major) ---------------------------------
     # dproj/dpc (2,3,O); dpc/dxi = [-hat(pc) | I] (3,6,O); dpc/dX = R
     iz2 = iz * iz
     zo = jnp.zeros_like(z)
@@ -334,10 +319,47 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     dpc_dxi = jnp.concatenate([-hat, eye_t], 1)                # (3,6,O)
     Jc = -jnp.einsum("ijo,jko->iko", dproj, dpc_dxi)           # (2,6,O)
     Jl = -jnp.einsum("ijo,jko->iko", dproj, R_t)               # (2,3,O)
-    wJc = Jc * w
-    wJl = Jl * w
+    return r_t, chi2, w, Jc, Jl
 
-    # ---- block assembly ----------------------------------------------
+
+def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
+                      uv_t, inv_sigma2, valid, lm_idx, lm_bounds,
+                      cam_idx_l, lm_sorted, uv_s, is2_s, valid_s):
+    """One LM iteration in DUAL-LAYOUT component-major form.
+
+    The measured cost profile of the previous single-layout formulation
+    (tools/bench_hbm.py, v5e): the per-sweep (3,O) permutation into
+    landmark-sorted order was +8.9 ms and the random (3,L)->(3,O) expand
+    +5.1 ms — together 3/4 of a 19.1 ms Schur matvec, with the actual
+    einsums at ~1 ms. Fix: materialize the observation stream in BOTH
+    orders and never permute per-observation data inside the PCG loop:
+
+    - camera-major (obs o = c*seg + i): camera quantities form by
+      broadcast+reshape, camera reductions by reshape-sum / fused MXU
+      contraction; produces Hcc, bc and the cam-side W copy ``Wcl_t``.
+    - landmark-sorted (static host permutation ``lm_order``): landmark
+      reductions are cumsum + boundary-diff with NO in-graph permute;
+      camera quantities gather from the tiny (6,C)/(3,3,C) tables;
+      produces Hll, bl and the lm-side W copy ``Wl_t``.
+
+    The residual/Jacobian pipeline runs once per layout — pure streaming
+    arithmetic that costs a few ms and replaces ~30 ms of permutes per LM
+    iteration (14 permuted (·,O) rows in assembly + 25 sweeps x 1 row).
+    Per-element results are bitwise identical across layouts, so the PCG
+    operator stays exactly symmetric. Each Schur matvec is then:
+    small-table gather -> einsum -> cumsum-reduce -> 3x3 solve ->
+    (3,L)->(3,O) gather -> einsum -> reshape-sum.
+    """
+    Tcw, Xw, lam = state
+
+    # ---- camera-major pass -------------------------------------------
+    R_t = _rep_cam(jnp.moveaxis(Tcw[:, :3, :3], 0, -1), seg)   # (3,3,O)
+    t_t = _rep_cam(Tcw[:, :3, 3].T, seg)                       # (3,O)
+    X_t = Xw.T[:, lm_idx]                                      # (3,O) gather
+    r_t, chi2, w, Jc, Jl = _obs_pipeline(
+        R_t, t_t, X_t, uv_t, inv_sigma2, valid, K)
+    cost = _robust_cost(chi2, valid)
+    wJc = Jc * w
     # camera blocks: fold the reshape-sum into the einsum so the (6,6,O)
     # intermediate never hits HBM — contraction over (k, seg) is a real
     # MXU matmul per camera
@@ -346,16 +368,21 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     r_r = r_t.reshape(2, C, seg)
     Hcc = jnp.einsum("kics,kjcs->cij", wJc_r, Jc_r)            # (C,6,6)
     bc = -jnp.einsum("kics,kcs->ci", wJc_r, r_r)               # (C,6)
-    # landmark blocks: permute once into landmark-sorted order, reduce by
-    # cumsum at boundaries
-    wJl_s = wJl[:, :, lm_order]                                # (2,3,O)
-    Jl_s = Jl[:, :, lm_order]
-    r_s = r_t[:, lm_order]
-    Hll = jnp.moveaxis(
-        _lm_sum_t(jnp.einsum("kio,kjo->ijo", wJl_s, Jl_s), lm_bounds),
-        -1, 0)                                                 # (L,3,3)
-    bl = -_lm_sum_t(jnp.einsum("kio,ko->io", wJl_s, r_s), lm_bounds).T
     Wcl_t = jnp.einsum("kio,kjo->ijo", wJc, Jl)                # (6,3,O)
+
+    # ---- landmark-sorted pass ----------------------------------------
+    Rc_t = jnp.moveaxis(Tcw[:, :3, :3], 0, -1)                 # (3,3,C)
+    R_l = Rc_t[:, :, cam_idx_l]                                # small-src gather
+    t_l = Tcw[:, :3, 3].T[:, cam_idx_l]
+    X_l = Xw.T[:, lm_sorted]                                   # sorted gather
+    r_l, _chi2_l, w_l, Jc_l, Jl_l = _obs_pipeline(
+        R_l, t_l, X_l, uv_s, is2_s, valid_s, K)
+    wJl_l = Jl_l * w_l
+    Hll = jnp.moveaxis(
+        _lm_sum_t(jnp.einsum("kio,kjo->ijo", wJl_l, Jl_l), lm_bounds),
+        -1, 0)                                                 # (L,3,3)
+    bl = -_lm_sum_t(jnp.einsum("kio,ko->io", wJl_l, r_l), lm_bounds).T
+    Wl_t = jnp.einsum("kio,kjo->ijo", Jc_l * w_l, Jl_l)        # (6,3,O)
 
     # ---- damping / gauge fixing ---------------------------------------
     Hcc_d = ba_core.damp_blocks(Hcc, lam)
@@ -369,6 +396,8 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     bl = jnp.where(fixed_lm[:, None], 0.0, bl)
     free_obs = ~(_rep_cam(fixed_cam[None], seg)[0] | fixed_lm[lm_idx])
     Wcl_t = jnp.where(free_obs, Wcl_t, 0.0)
+    free_obs_l = ~(fixed_cam[cam_idx_l] | fixed_lm[lm_sorted])
+    Wl_t = jnp.where(free_obs_l, Wl_t, 0.0)
     Hll_inv = ba_core.inv33(Hll_d)
     Hll_inv_t = jnp.moveaxis(Hll_inv, 0, -1)                   # (3,3,L)
 
@@ -378,9 +407,9 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
 
     def matvec(v):                                             # (C,6)
         Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
-        vg = _rep_cam(v.T, seg)                                # (6,O)
-        wtv = jnp.einsum("ijo,io->jo", Wcl_t, vg)              # (3,O)
-        u = lm_solve_t(_lm_sum_t(wtv[:, lm_order], lm_bounds)) # (3,L)
+        vgl = v.T[:, cam_idx_l]                                # (6,O) tiny-src
+        wtv = jnp.einsum("ijo,io->jo", Wl_t, vgl)              # (3,O)
+        u = lm_solve_t(_lm_sum_t(wtv, lm_bounds))              # (3,L)
         ug = u[:, lm_idx]                                      # (3,O) gather
         wu = jnp.einsum("ijo,jo->io", Wcl_t, ug)               # (6,O)
         return Hv - _cam_sum_t(wu, C, seg).T
@@ -389,13 +418,22 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     br = bc - _cam_sum_t(
         jnp.einsum("ijo,jo->io", Wcl_t, u0[:, lm_idx]), C, seg
     ).T
-    M_inv = jnp.linalg.inv(Hcc_d + 1e-6 * eye6[None])
+    # block-Jacobi preconditioner on the TRUE Schur diagonal
+    # M_c = Hcc_c - sum_{o in c} w_o Hll^-1[l(o)] w_o^T  — one extra
+    # assembly-shaped pass per LM iteration, but it tracks S (not just Hcc)
+    # and with residual early exit buys back whole PCG sweeps
+    G = Hll_inv_t[:, :, lm_idx]                                # (3,3,O)
+    WG = jnp.einsum("ijo,jko->iko", Wcl_t, G)                  # (6,3,O)
+    S_diag = Hcc_d - jnp.einsum(
+        "ikcs,jkcs->cij", WG.reshape(6, 3, C, seg),
+        Wcl_t.reshape(6, 3, C, seg))
+    M_inv = jnp.linalg.inv(S_diag + 1e-6 * eye6[None])
     dc = _pcg(matvec, br, M_inv, pcg_iters)
     dc = jnp.where(fixed_cam[:, None], 0.0, dc)
 
     # ---- landmark back-substitution -----------------------------------
-    wtv = jnp.einsum("ijo,io->jo", Wcl_t, _rep_cam(dc.T, seg))
-    dl = lm_solve_t(bl.T - _lm_sum_t(wtv[:, lm_order], lm_bounds)).T
+    wtv = jnp.einsum("ijo,io->jo", Wl_t, dc.T[:, cam_idx_l])
+    dl = lm_solve_t(bl.T - _lm_sum_t(wtv, lm_bounds)).T
     dl = jnp.where(fixed_lm[:, None], 0.0, dl)
 
     # ---- accept / reject ----------------------------------------------
@@ -405,7 +443,8 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     t2_t = _rep_cam(T_new[:, :3, 3].T, seg)
     pc2 = jnp.einsum("ijo,jo->io", R2_t, X_new.T[:, lm_idx]) + t2_t
     z2 = jnp.where(pc2[2] > 1e-6, pc2[2], 1.0)
-    r2 = uv_t - jnp.stack([fx * pc2[0] / z2 + cx, fy * pc2[1] / z2 + cy])
+    r2 = uv_t - jnp.stack([K[0, 0] * pc2[0] / z2 + K[0, 2],
+                           K[1, 1] * pc2[1] / z2 + K[1, 2]])
     cost_new = _robust_cost(jnp.sum(r2 * r2, 0) * inv_sigma2, valid)
     accept = cost_new < cost
     Tcw = jnp.where(accept, T_new, Tcw)
@@ -433,14 +472,22 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
     def _get_body(seg: int):
         if seg not in bodies:
             def body_fn(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
-                        uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds):
+                        uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds,
+                        cam_idx_l, lm_sorted):
                 C = Tcw.shape[0]
                 L = Xw.shape[0]
+                # loop-invariant landmark-sorted streams: permute once per
+                # call, outside the LM loop (the iteration itself never
+                # permutes per-observation data)
+                uv_s = uv_t[:, lm_order]
+                is2_s = inv_sigma2[lm_order]
+                valid_s = valid[lm_order]
 
                 def it(_, st):
                     st, _cost = _gba_iteration_cm(
                         st, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
-                        uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds,
+                        uv_t, inv_sigma2, valid, lm_idx, lm_bounds,
+                        cam_idx_l, lm_sorted, uv_s, is2_s, valid_s,
                     )
                     return st
 
@@ -470,18 +517,24 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
         C, L = Tcw.shape[0], Xw.shape[0]
         O = obs.cam_idx.shape[0]
         assert O % C == 0, "matrix-free GBA needs camera-major contiguous obs"
+        seg = O // C
         ent = plan_cache[0]
         if (ent is None or ent[0] is not obs.lm_idx
                 or ent[1] is not obs.cam_idx or ent[2] != (C, L)):
-            ss = ba_core.build_sorted_segments(np.asarray(obs.lm_idx), L)
-            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss)
+            lm_np = np.asarray(obs.lm_idx)
+            ss = ba_core.build_sorted_segments(lm_np, L)
+            order_np = np.asarray(ss.order)
+            cam_idx_l = jnp.asarray(
+                (np.arange(O, dtype=np.int32) // seg)[order_np])
+            lm_sorted = jnp.asarray(lm_np[order_np])
+            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss, cam_idx_l, lm_sorted)
             plan_cache[0] = ent
-        ss = ent[3]
-        body = _get_body(O // C)
+        _, _, _, ss, cam_idx_l, lm_sorted = ent
+        body = _get_body(seg)
         Tcw_o, Xw_o, inlier, cost = body(
             Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
             obs.uv.T, obs.inv_sigma2, obs.valid, obs.lm_idx,
-            ss.order, ss.bounds,
+            ss.order, ss.bounds, cam_idx_l, lm_sorted,
         )
         return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
 

@@ -78,16 +78,5 @@ int32_t wire_check(const uint8_t* payload, uint64_t len, uint32_t crc) {
     return wire_crc32(payload, len) == crc ? 1 : 0;
 }
 
-// Host-side Hamming distance between two packed descriptor blocks
-// (n x words u64), used for integrity spot-checks of shipped descriptors.
-void wire_hamming_rows(const uint64_t* a, const uint64_t* b, uint64_t n,
-                       uint64_t words, uint32_t* out) {
-    for (uint64_t i = 0; i < n; i++) {
-        uint32_t acc = 0;
-        for (uint64_t w = 0; w < words; w++)
-            acc += __builtin_popcountll(a[i * words + w] ^ b[i * words + w]);
-        out[i] = acc;
-    }
-}
 
 }  // extern "C"

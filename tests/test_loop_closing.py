@@ -81,3 +81,37 @@ def test_loop_edges_recorded(drifted_revisit):
     world, m, slots1, slots2, D = drifted_revisit
     loop_edges = np.asarray(m.kf.loop_edge)
     assert (loop_edges >= 0).sum() >= 2  # both endpoints recorded
+
+
+def test_organic_chain_with_gba():
+    """The FULL organic chain in one run — BoW detect -> Sim3 RANSAC ->
+    correction -> essential graph -> Motion-Check-gated GBA — with
+    run_gba_after_loop ON (the other tests disable it for CPU budget; this
+    one mirrors the reference's actual loop path LoopFinder::CorrectLoop ->
+    RunGBA, src/LoopFinder.cpp:746)."""
+    world = SynthWorld(CONFIG, n_points=400, seed=0)
+    m = ms.MapState.create(CONFIG, server=False)
+    poses, ts = arc_poses(6, step=0.25)
+    slots1 = add_pass(m, world, poses, ts, kf_id_start=0, seed=1)
+    D = np.asarray(lie.se3_exp(jnp.asarray(
+        np.array([0.0, 0.026, 0.0, 0.15, 0.05, 0.0], np.float32))))
+    slots2 = add_pass(m, world, poses, [t + 10.0 for t in ts],
+                      kf_id_start=50, lm_pose_error=D, seed=2)
+    vocab = vocab_mod.default_vocabulary()
+    closer = loop_closing.LoopCloser(
+        config=CONFIG, map=m,
+        database=db_mod.KeyFrameDatabase(vocab=vocab, capacity=m.nk),
+        run_gba_after_loop=True,
+    )
+    closed = False
+    for slot in slots1 + slots2:
+        closed = closer.process_keyframe(slot) or closed
+    assert closed and closer.n_loops_closed >= 1
+    # GBA polished the closed map: revisit poses match pass 1's within
+    # tight tolerance (loop-only correction leaves more residual)
+    errs = []
+    for k, slot in enumerate(slots2):
+        C_est = np.linalg.inv(np.asarray(m.kf.Tcw[slot]))[:3, 3]
+        C_true = np.linalg.inv(poses[k])[:3, 3]
+        errs.append(np.linalg.norm(C_est - C_true))
+    assert np.mean(errs) < 0.08, errs
