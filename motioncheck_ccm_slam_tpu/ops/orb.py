@@ -35,21 +35,25 @@ import numpy as np
 
 from ..config import ExtractorParams
 from . import image as image_ops
+from . import fast_pallas
 
 # ---------------------------------------------------------------------------
 # Static tables
 # ---------------------------------------------------------------------------
 
-# FAST ring: 16 contiguous (dx, dy) offsets of the radius-3 Bresenham circle.
-_FAST_RING = np.array(
-    [
-        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
-        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
-    ],
-    dtype=np.int32,
-)
+_FAST_RING = fast_pallas.FAST_RING
+_FAST_ARC = fast_pallas.FAST_ARC
 
-_FAST_ARC = 9  # FAST-9: need >= 9 contiguous ring pixels all brighter/darker
+# FAST front-end backend: "pallas" fuses the dense corner stage into one
+# VMEM-resident pass per row stripe (ops/fast_pallas.py); "jnp" is the
+# reference XLA formulation below. None = auto (pallas on TPU).
+FAST_BACKEND: str | None = None
+
+
+def _use_pallas_fast() -> bool:
+    if FAST_BACKEND is not None:
+        return FAST_BACKEND == "pallas"
+    return jax.default_backend() == "tpu"
 
 
 @functools.lru_cache(maxsize=None)
@@ -183,37 +187,51 @@ def _select_level_keypoints(img, params: ExtractorParams, k_level: int,
     Returns xy (k_level, 2) f32 (level coords), score (k_level,), valid mask.
     """
     h, w = img.shape
-    (corner_hi, score_hi), (corner_lo, score_lo) = fast_response_two_thresholds(
-        img, float(params.ini_th_fast), float(params.min_th_fast)
-    )
-
-    # border exclusion for orientation/descriptor sampling
     b = params.edge_threshold
-    yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
-    ok_border = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
-    corner_hi = corner_hi & ok_border
-    corner_lo = corner_lo & ok_border
+    if _use_pallas_fast() and b >= fast_pallas.HALO:
+        # fused dense front-end: one VMEM pass emits the cell-retried
+        # masked score map directly (bit-identical to the branch below)
+        masked_score = fast_pallas.masked_corner_score(
+            img, th_hi=float(params.ini_th_fast),
+            th_lo=float(params.min_th_fast), border=b,
+        )
+        hp, wp = masked_score.shape
+        corner_map = masked_score > 0.0
+    else:
+        (corner_hi, score_hi), (corner_lo, score_lo) = (
+            fast_response_two_thresholds(
+                img, float(params.ini_th_fast), float(params.min_th_fast)
+            )
+        )
 
-    # pad to cell multiples
-    hp = (h + cell - 1) // cell * cell
-    wp = (w + cell - 1) // cell * cell
-    def to_cells(x, fill):
-        xp = jnp.pad(x, ((0, hp - h), (0, wp - w)), constant_values=fill)
-        return xp.reshape(hp // cell, cell, wp // cell, cell).transpose(0, 2, 1, 3)
+        # border exclusion for orientation/descriptor sampling
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        ok_border = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
+        corner_hi = corner_hi & ok_border
+        corner_lo = corner_lo & ok_border
 
-    hi_in_cell = jnp.any(to_cells(corner_hi, False), axis=(2, 3))  # (Hc, Wc)
+        # pad to cell multiples
+        hp = (h + cell - 1) // cell * cell
+        wp = (w + cell - 1) // cell * cell
+        def to_cells(x, fill):
+            xp = jnp.pad(x, ((0, hp - h), (0, wp - w)), constant_values=fill)
+            return xp.reshape(
+                hp // cell, cell, wp // cell, cell).transpose(0, 2, 1, 3)
 
-    # two-threshold retry: cells without any high-threshold corner use the
-    # low-threshold detection (reference ComputeKeyPointsOctTree retry loop)
-    use_hi = hi_in_cell[:, :, None, None]
-    corner = jnp.where(use_hi, to_cells(corner_hi, False), to_cells(corner_lo, False))
-    score = jnp.where(use_hi, to_cells(score_hi, 0.0), to_cells(score_lo, 0.0))
+        hi_in_cell = jnp.any(to_cells(corner_hi, False), axis=(2, 3))
 
-    # NMS within the full map: stitch cells back, NMS, re-cell
-    corner_map = corner.transpose(0, 2, 1, 3).reshape(hp, wp)
-    score_map = score.transpose(0, 2, 1, 3).reshape(hp, wp)
-    masked_score = jnp.where(corner_map, score_map, 0.0)
+        # two-threshold retry: cells without any high-threshold corner use
+        # the low-threshold detection (ComputeKeyPointsOctTree retry loop)
+        use_hi = hi_in_cell[:, :, None, None]
+        corner = jnp.where(
+            use_hi, to_cells(corner_hi, False), to_cells(corner_lo, False))
+        score = jnp.where(
+            use_hi, to_cells(score_hi, 0.0), to_cells(score_lo, 0.0))
+        corner_map = corner.transpose(0, 2, 1, 3).reshape(hp, wp)
+        score_map = score.transpose(0, 2, 1, 3).reshape(hp, wp)
+        masked_score = jnp.where(corner_map, score_map, 0.0)
+
     keep = _nms3(masked_score) & corner_map
     final_score = jnp.where(keep, masked_score, 0.0)
 
@@ -381,8 +399,18 @@ def extract_orb(img, params: ExtractorParams) -> OrbFeatures:
     out_xy, out_resp, out_ang, out_oct, out_desc, out_valid = [], [], [], [], [], []
     for l, (lvl_img, k_level) in enumerate(zip(levels, budgets)):
         xy, score, valid = _select_level_keypoints(lvl_img, params, k_level)
-        ang = ic_angles(lvl_img, xy, params.half_patch_size)
-        blur = image_ops.gaussian_blur(lvl_img, 7, 2.0)
+        if _use_pallas_fast():
+            # fused one-read kernel for the three dense maps; the padded
+            # tail holds junk that keypoints (>= edge_threshold inside)
+            # never sample
+            blur, m10, m01 = fast_pallas.blur_and_moments(
+                lvl_img, half_patch=params.half_patch_size
+            )
+            ang = ic_angles(lvl_img, xy, params.half_patch_size,
+                            moment_maps=(m10, m01))
+        else:
+            ang = ic_angles(lvl_img, xy, params.half_patch_size)
+            blur = image_ops.gaussian_blur(lvl_img, 7, 2.0)
         desc = brief_descriptors(blur, xy, ang)
         scale_l = params.scale_factor ** l
         out_xy.append(xy * scale_l)

@@ -1,0 +1,91 @@
+"""A/B the extractor front-end backends on the real chip.
+
+Times full extract_orb at the EuRoC operating point (752x480, 1000
+features, 8 levels) with the jnp (XLA) dense front-end vs the fused
+Pallas kernels (ops/fast_pallas.py), plus the isolated dense stages.
+Device-loop timing (lax.fori_loop with a live carry), same methodology as
+bench.py.
+
+Usage: python tools/bench_fast_pallas.py [--iters 32]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def device_loop_ms(fn, args, iters):
+    """Time fn over `iters` device-loop iterations, scalar-carry kept live."""
+
+    def loop(*a):
+        def body(_, acc):
+            out = fn(*a)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = acc
+            for x in leaves:
+                s = s + jnp.sum(x).astype(jnp.float32)
+            return s
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    j = jax.jit(loop)
+    float(j(*args))                     # compile + warm
+    t0 = time.perf_counter()
+    float(j(*args))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=32)
+    args = ap.parse_args()
+
+    from motioncheck_ccm_slam_tpu.config import DEFAULT_CONFIG
+    from motioncheck_ccm_slam_tpu.ops import fast_pallas, image as image_ops, orb
+
+    cfg = DEFAULT_CONFIG
+    cam = cfg.camera
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        rng.uniform(0, 255, (cam.height, cam.width)).astype(np.float32))
+    params = cfg.extractor
+    print(f"backend={jax.default_backend()} img={img.shape}")
+
+    # isolated dense stages on level 0
+    ms = device_loop_ms(
+        lambda im: fast_pallas.masked_corner_score(
+            im, th_hi=float(params.ini_th_fast),
+            th_lo=float(params.min_th_fast), border=params.edge_threshold),
+        (img,), args.iters)
+    print(f"fast front  pallas L0: {ms:7.3f} ms")
+    ms = device_loop_ms(
+        lambda im: fast_pallas.blur_and_moments(
+            im, half_patch=params.half_patch_size), (img,), args.iters)
+    print(f"blur+moments pallas L0: {ms:7.3f} ms")
+    ms = device_loop_ms(
+        lambda im: image_ops.gaussian_blur(im, 7, 2.0), (img,), args.iters)
+    print(f"blur jnp L0:            {ms:7.3f} ms")
+    ms = device_loop_ms(
+        lambda im: orb.ic_moment_maps(im, params.half_patch_size),
+        (img,), args.iters)
+    print(f"moments jnp L0:         {ms:7.3f} ms")
+
+    for backend in ("jnp", "pallas"):
+        orb.FAST_BACKEND = backend
+        ms = device_loop_ms(
+            lambda im: orb.extract_orb(im, params), (img,), args.iters)
+        print(f"extract_orb [{backend:6s}]: {ms:7.3f} ms")
+    orb.FAST_BACKEND = None
+
+
+if __name__ == "__main__":
+    main()
