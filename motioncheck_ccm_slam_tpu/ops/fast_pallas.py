@@ -49,7 +49,12 @@ FAST_RING = np.array(
 FAST_ARC = 9  # FAST-9: >= 9 contiguous ring pixels all brighter/darker
 
 HALO = 4          # ring radius 3, +1 slack
-TH = 64           # stripe height (multiple of the 32px retry cell)
+TH = 64           # blur/moment stripe height (multiple of the 32px cell)
+# Corner stripe height: the 16x-unrolled ring loop keeps ~100 live
+# stripe-sized temporaries (4 masks + 4 scores + d per offset before the
+# scheduler can retire them); at 64 rows that is ~22 MB of scoped VMEM,
+# over the 16 MB/core budget on real chips. 32 rows halves it.
+TH_CORNER = 32
 CELL = 32
 
 # Test hook: force interpreter-mode execution (CPU) for the kernels even
@@ -97,17 +102,17 @@ def _arc(m):
 
 
 def _make_kernel(H: int, W: int, Wc: int, WP: int, th_hi: float,
-                 th_lo: float, border: int):
+                 th_lo: float, border: int, th: int = TH_CORNER):
     ring = [(int(dx), int(dy)) for dx, dy in np.asarray(FAST_RING)]
 
     def kernel(p_hbm, out_ref, scratch, sem):
         i = pl.program_id(0)
         dma = pltpu.make_async_copy(
-            p_hbm.at[pl.ds(i * TH, TH + 2 * HALO), :], scratch, sem
+            p_hbm.at[pl.ds(i * th, th + 2 * HALO), :], scratch, sem
         )
         dma.start()
         dma.wait()
-        center = scratch[HALO:HALO + TH, HALO:HALO + Wc]
+        center = scratch[HALO:HALO + th, HALO:HALO + Wc]
         zero = jnp.zeros_like(center)
         m_hb = jnp.zeros(center.shape, jnp.int32)
         m_hd = jnp.zeros(center.shape, jnp.int32)
@@ -118,7 +123,7 @@ def _make_kernel(H: int, W: int, Wc: int, WP: int, th_hi: float,
         s_lb = zero
         s_ld = zero
         for k, (dx, dy) in enumerate(ring):
-            d = scratch[HALO + dy:HALO + dy + TH,
+            d = scratch[HALO + dy:HALO + dy + th,
                         HALO + dx:HALO + dx + Wc] - center
             m_hb = m_hb | ((d > th_hi).astype(jnp.int32) << k)
             m_hd = m_hd | ((d < -th_hi).astype(jnp.int32) << k)
@@ -130,14 +135,14 @@ def _make_kernel(H: int, W: int, Wc: int, WP: int, th_hi: float,
             s_ld = s_ld + jnp.maximum(-d - th_lo, 0.0)
         score_hi = jnp.maximum(s_hb, s_hd)
         score_lo = jnp.maximum(s_lb, s_ld)
-        rows = i * TH + jax.lax.broadcasted_iota(jnp.int32, center.shape, 0)
+        rows = i * th + jax.lax.broadcasted_iota(jnp.int32, center.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
         ok = ((rows >= border) & (rows < H - border)
               & (cols >= border) & (cols < W - border))
         corner_hi = (_arc(m_hb) | _arc(m_hd)) & ok
         corner_lo = (_arc(m_lb) | _arc(m_ld)) & ok
         use_hi = _cell_matmul_any(
-            corner_hi.astype(jnp.float32), TH, Wc) > 0.0
+            corner_hi.astype(jnp.float32), th, Wc) > 0.0
         masked = jnp.where(
             use_hi,
             jnp.where(corner_hi, score_hi, 0.0),
@@ -163,7 +168,15 @@ def _make_blur_moments_kernel(Wc: int, kb: np.ndarray, kh: np.ndarray,
     bh = kbs // 2            # blur half-width
     p = ksz // 2             # moment half-width
 
-    def kernel(p_hbm, blur_ref, m10_ref, m01_ref, scratch, sem):
+    def kernel(p_hbm, blur_ref, m10_ref, m01_ref, scratch, mid, sem):
+        # Accumulate through VMEM refs, not SSA chains: the fully-unrolled
+        # 2r*2*31-tap multiply-add graph left hundreds of stripe-sized
+        # temporaries live in Mosaic's stack allocator (~105 MB scoped VMEM
+        # at TH=64 — far over the 16 MB/core budget). Every store below
+        # retires its temporaries, bounding the live set to ~3 stripes.
+        # The read-modify-write order reproduces the SSA chains' float
+        # association exactly (0 + x == x and a*k == k*a bitwise), so
+        # results stay bit-identical to the jnp formulation.
         i = pl.program_id(0)
         dma = pltpu.make_async_copy(
             p_hbm.at[pl.ds(i * TH, TH + 2 * MHALO), :], scratch, sem
@@ -172,29 +185,35 @@ def _make_blur_moments_kernel(Wc: int, kb: np.ndarray, kh: np.ndarray,
         dma.wait()
 
         def hpass(taps, half):
-            """Horizontal tap sum over all scratch rows -> (TH+2*MHALO, Wc)."""
-            acc = float(taps[0]) * scratch[:, MHALO - half:MHALO - half + Wc]
+            """Horizontal tap sum over all scratch rows into ``mid``."""
+            mid[:] = float(taps[0]) * scratch[:, MHALO - half:MHALO - half + Wc]
             for t in range(1, len(taps)):
-                acc = acc + float(taps[t]) * scratch[
+                mid[:] = mid[:] + float(taps[t]) * scratch[
                     :, MHALO - half + t:MHALO - half + t + Wc]
-            return acc
 
-        def vpass(mid, taps, half, acc):
+        def vpass(taps, half, out_ref, first: bool):
+            """Vertical tap sum of ``mid`` accumulated into ``out_ref``.
+
+            first=True starts the chain as sl*k (the jnp path's acc=None
+            arm); otherwise every tap is out += k*sl, continuing the
+            cross-channel chain exactly like the jnp path's zeros-init
+            accumulator (whose leading 0 + k*sl is bitwise k*sl).
+            """
             for t in range(len(taps)):
                 sl = mid[MHALO - half + t:MHALO - half + t + TH, :]
-                acc = sl * float(taps[t]) if acc is None else \
-                    acc + float(taps[t]) * sl
-            return acc
+                if first and t == 0:
+                    out_ref[:] = sl * float(taps[t])
+                else:
+                    out_ref[:] = out_ref[:] + float(taps[t]) * sl
 
-        blur_ref[:] = vpass(hpass(kb, bh), kb, bh, None)
-        m10 = jnp.zeros((TH, Wc), jnp.float32)
-        m01 = jnp.zeros((TH, Wc), jnp.float32)
+        hpass(kb, bh)
+        vpass(kb, bh, blur_ref, first=True)
         for c in range(r):
-            m10 = vpass(hpass(kh[c], p), kv[c], p, m10)
+            hpass(kh[c], p)
+            vpass(kv[c], p, m10_ref, first=(c == 0))
         for c in range(r):
-            m01 = vpass(hpass(kh[r + c], p), kv[r + c], p, m01)
-        m10_ref[:] = m10
-        m01_ref[:] = m01
+            hpass(kh[r + c], p)
+            vpass(kv[r + c], p, m01_ref, first=(c == 0))
 
     return kernel
 
@@ -240,6 +259,7 @@ def blur_and_moments(img, *, half_patch: int = 15, ksize: int = 7,
         out_specs=(spec, spec, spec),
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * MHALO, WP), img.dtype),
+            pltpu.VMEM((TH + 2 * MHALO, Wc), img.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -261,7 +281,8 @@ def masked_corner_score(img, *, th_hi: float, th_lo: float, border: int,
     """
     H, W = img.shape
     assert border >= HALO
-    Hp = _round_up(H, TH)
+    Hp = _round_up(H, TH)  # keep the pad multiple of 64: callers (and the
+    # jnp path) pad score maps to 64-row multiples
     Wc = _round_up(W, CELL)
     WP = _round_up(Wc + 2 * HALO, 128)
     p = jnp.zeros((Hp + 2 * HALO, WP), img.dtype)
@@ -270,13 +291,13 @@ def masked_corner_score(img, *, th_hi: float, th_lo: float, border: int,
     interpret = interpret or FORCE_INTERPRET
     return pl.pallas_call(
         kernel,
-        grid=(Hp // TH,),
+        grid=(Hp // TH_CORNER,),
         out_shape=jax.ShapeDtypeStruct((Hp, Wc), img.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((TH, Wc), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TH_CORNER, Wc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * HALO, WP), img.dtype),
+            pltpu.VMEM((TH_CORNER + 2 * HALO, WP), img.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

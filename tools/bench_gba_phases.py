@@ -55,19 +55,27 @@ def main():
     cam_idx_l_j = jnp.asarray(cam_idx_l)
     bounds_j = jnp.asarray(bounds)
 
+    # Big arrays are passed as ARGUMENTS, never closed over: a closed-over
+    # device array is inlined into the serialized HLO as a constant, and at
+    # O=2M the ~150 MB Wl_t/Wcl_t modules exceed remote-compile body limits
+    # (HTTP 413) besides bloating the executable.
+    big = (Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j, lm_idx_j,
+           bounds_j)
+
     def timeit(name, fn, *a):
-        r = fn(*a)
+        f = jax.jit(fn)
+        r = f(*a, *big)
         jax.block_until_ready(r)
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            r = fn(*a)
+            r = f(*a, *big)
         jax.block_until_ready(r)
         ms = (time.perf_counter() - t0) / args.reps * 1e3
         print(f"{name:34s} {ms:9.1f} ms", flush=True)
         return ms
 
-    # (a) the exact PCG with the exact matvec
-    def matvec(v):
+    def matvec(v, Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j,
+               lm_idx_j, bounds_j):
         Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
         vgl = v.T[:, cam_idx_l_j]
         wtv = jnp.einsum("ijo,io->jo", Wl_t, vgl)
@@ -77,31 +85,43 @@ def main():
         wu = jnp.einsum("ijo,jo->io", Wcl_t, ug)
         return Hv - sb._cam_sum_t(wu, C, seg).T
 
-    pcg_full = jax.jit(lambda bb: sb._pcg(matvec, bb, M_inv, args.pcg,
-                                          rtol=0.0))
-    ms_pcg = timeit(f"PCG x{args.pcg} (exact matvec)", pcg_full, b)
+    # (a) the exact PCG with the exact matvec
+    def pcg_full(bb, *big):
+        M_inv = big[4]
+        return sb._pcg(lambda v: matvec(v, *big), bb, M_inv, args.pcg,
+                       rtol=0.0)
 
-    # single matvec
-    mv = jax.jit(matvec)
-    ms_mv = timeit("one Schur matvec", mv, b)
+    ms_pcg = timeit(f"PCG x{args.pcg} (exact matvec)", pcg_full, b)
+    ms_mv = timeit("one Schur matvec", matvec, b)
 
     # matvec stages, cumulative
-    s1 = jax.jit(lambda v: jnp.einsum(
-        "ijo,io->jo", Wl_t, v.T[:, cam_idx_l_j]))
-    ms_s1 = timeit("  gather-v + einsum Wl", s1, b)
-    s2 = jax.jit(lambda v: sb._lm_sum_t(
-        jnp.einsum("ijo,io->jo", Wl_t, v.T[:, cam_idx_l_j]), bounds_j))
-    ms_s2 = timeit("  + lm cumsum reduce", s2, b)
-    s3 = jax.jit(lambda v: jnp.einsum(
-        "ijl,jl->il", Hll_inv_t, sb._lm_sum_t(
-            jnp.einsum("ijo,io->jo", Wl_t, v.T[:, cam_idx_l_j]),
-            bounds_j))[:, lm_idx_j])
-    ms_s3 = timeit("  + solve + u gather", s3, b)
-    s4 = jax.jit(lambda v: sb._cam_sum_t(jnp.einsum(
-        "ijo,jo->io", Wcl_t, jnp.einsum(
+    def s1(v, Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j, lm_idx_j,
+           bounds_j):
+        return jnp.einsum("ijo,io->jo", Wl_t, v.T[:, cam_idx_l_j])
+
+    def s2(v, Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j, lm_idx_j,
+           bounds_j):
+        return sb._lm_sum_t(
+            jnp.einsum("ijo,io->jo", Wl_t, v.T[:, cam_idx_l_j]), bounds_j)
+
+    def s3(v, Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j, lm_idx_j,
+           bounds_j):
+        return jnp.einsum(
             "ijl,jl->il", Hll_inv_t, sb._lm_sum_t(
                 jnp.einsum("ijo,io->jo", Wl_t, v.T[:, cam_idx_l_j]),
-                bounds_j))[:, lm_idx_j]), C, seg).T)
+                bounds_j))[:, lm_idx_j]
+
+    def s4(v, Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j, lm_idx_j,
+           bounds_j):
+        return sb._cam_sum_t(jnp.einsum(
+            "ijo,jo->io", Wcl_t, jnp.einsum(
+                "ijl,jl->il", Hll_inv_t, sb._lm_sum_t(
+                    jnp.einsum("ijo,io->jo", Wl_t, v.T[:, cam_idx_l_j]),
+                    bounds_j))[:, lm_idx_j]), C, seg).T
+
+    ms_s1 = timeit("  gather-v + einsum Wl", s1, b)
+    ms_s2 = timeit("  + lm cumsum reduce", s2, b)
+    ms_s3 = timeit("  + solve + u gather", s3, b)
     ms_s4 = timeit("  + einsum Wcl + cam sum", s4, b)
 
     print(f"PCG overhead per sweep: "
