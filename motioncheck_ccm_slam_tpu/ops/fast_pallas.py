@@ -102,7 +102,7 @@ def _arc(m):
 
 
 def _make_kernel(H: int, W: int, Wc: int, WP: int, th_hi: float,
-                 th_lo: float, border: int, th: int = TH_CORNER):
+                 th_lo: float, border: int, th: int):
     ring = [(int(dx), int(dy)) for dx, dy in np.asarray(FAST_RING)]
 
     def kernel(p_hbm, out_ref, scratch, sem):
@@ -196,8 +196,10 @@ def _make_blur_moments_kernel(Wc: int, kb: np.ndarray, kh: np.ndarray,
 
             first=True starts the chain as sl*k (the jnp path's acc=None
             arm); otherwise every tap is out += k*sl, continuing the
-            cross-channel chain exactly like the jnp path's zeros-init
-            accumulator (whose leading 0 + k*sl is bitwise k*sl).
+            cross-channel chain like the jnp path's zeros-init accumulator.
+            The one non-bitwise case is signed zeros: a negative tap times
+            +0.0 yields -0.0 here where 0 + k*sl yields +0.0 — numerically
+            equal (-0.0 == 0.0), so downstream comparisons are unaffected.
             """
             for t in range(len(taps)):
                 sl = mid[MHALO - half + t:MHALO - half + t + TH, :]
@@ -287,17 +289,20 @@ def masked_corner_score(img, *, th_hi: float, th_lo: float, border: int,
     WP = _round_up(Wc + 2 * HALO, 128)
     p = jnp.zeros((Hp + 2 * HALO, WP), img.dtype)
     p = jax.lax.dynamic_update_slice(p, img, (HALO, HALO))
-    kernel = _make_kernel(H, W, Wc, WP, float(th_hi), float(th_lo), border)
+    th = TH_CORNER  # single source for the kernel's stripe height and the
+    # grid/spec/scratch shapes below — they must agree.
+    kernel = _make_kernel(H, W, Wc, WP, float(th_hi), float(th_lo), border,
+                          th)
     interpret = interpret or FORCE_INTERPRET
     return pl.pallas_call(
         kernel,
-        grid=(Hp // TH_CORNER,),
+        grid=(Hp // th,),
         out_shape=jax.ShapeDtypeStruct((Hp, Wc), img.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((TH_CORNER, Wc), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((th, Wc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TH_CORNER + 2 * HALO, WP), img.dtype),
+            pltpu.VMEM((th + 2 * HALO, WP), img.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

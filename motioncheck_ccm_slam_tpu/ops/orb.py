@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -46,14 +47,20 @@ _FAST_ARC = fast_pallas.FAST_ARC
 
 # FAST front-end backend: "pallas" fuses the dense corner stage into one
 # VMEM-resident pass per row stripe (ops/fast_pallas.py); "jnp" is the
-# reference XLA formulation below. None = auto (pallas on TPU).
-FAST_BACKEND: str | None = None
+# reference XLA formulation below. None = auto.
+#
+# Auto resolves to "jnp": the full-step A/B on a real v5e chip (bench.py
+# with MCSLAM_FAST_BACKEND forced each way) measured 88.5 frames/s with the
+# jnp front-end vs 78.1 with the Pallas one — at 752x480 the XLA-fused
+# shift-and-add formulation wins; the Pallas kernels remain available via
+# MCSLAM_FAST_BACKEND=pallas for A/B on other chip generations/image sizes.
+FAST_BACKEND: str | None = os.environ.get("MCSLAM_FAST_BACKEND") or None
 
 
 def _use_pallas_fast() -> bool:
     if FAST_BACKEND is not None:
         return FAST_BACKEND == "pallas"
-    return jax.default_backend() == "tpu"
+    return False
 
 
 @functools.lru_cache(maxsize=None)

@@ -24,11 +24,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 def device_loop_ms(fn, args, iters):
-    """Time fn over `iters` device-loop iterations, scalar-carry kept live."""
+    """Time fn over `iters` device-loop iterations, scalar-carry kept live.
 
-    def loop(*a):
+    The first argument (the image) is perturbed by the carry each
+    iteration, so the body is NOT loop-invariant — without this XLA hoists
+    the whole computation out of the fori_loop and the measurement is
+    pure loop overhead (this bit an earlier version of this tool: a full
+    8-level extract "measured" ~1 ms while the real cost was ~9 ms).
+    """
+
+    def loop(img, *rest):
         def body(_, acc):
-            out = fn(*a)
+            out = fn(img + acc * 1e-20, *rest)
             leaves = jax.tree_util.tree_leaves(out)
             s = acc
             for x in leaves:

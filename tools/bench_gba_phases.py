@@ -86,10 +86,11 @@ def main():
         return Hv - sb._cam_sum_t(wu, C, seg).T
 
     # (a) the exact PCG with the exact matvec
-    def pcg_full(bb, *big):
-        M_inv = big[4]
-        return sb._pcg(lambda v: matvec(v, *big), bb, M_inv, args.pcg,
-                       rtol=0.0)
+    def pcg_full(bb, Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j,
+                 lm_idx_j, bounds_j):
+        mv = lambda v: matvec(v, Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv,
+                              cam_idx_l_j, lm_idx_j, bounds_j)
+        return sb._pcg(mv, bb, M_inv, args.pcg, rtol=0.0)
 
     ms_pcg = timeit(f"PCG x{args.pcg} (exact matvec)", pcg_full, b)
     ms_mv = timeit("one Schur matvec", matvec, b)
