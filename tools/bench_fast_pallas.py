@@ -54,6 +54,10 @@ def device_loop_ms(fn, args, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--levels", type=str, default="",
+                    help="comma-separated pyramid levels (default: all)")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the full extract_orb A/B")
     args = ap.parse_args()
 
     from motioncheck_ccm_slam_tpu.config import DEFAULT_CONFIG
@@ -67,24 +71,42 @@ def main():
     params = cfg.extractor
     print(f"backend={jax.default_backend()} img={img.shape}")
 
-    # isolated dense stages on level 0
-    ms = device_loop_ms(
-        lambda im: fast_pallas.masked_corner_score(
+    # isolated dense stages, per pyramid level (the Pallas kernels pad to
+    # 64-row/32-col multiples — their relative cost grows as levels shrink)
+    def corner_jnp(im):
+        (c_hi, s_hi), (c_lo, s_lo) = orb.fast_response_two_thresholds(
+            im, float(params.ini_th_fast), float(params.min_th_fast))
+        return jnp.where(c_hi, s_hi, 0.0) + jnp.where(c_lo, s_lo, 0.0)
+
+    def corner_pallas(im):
+        return fast_pallas.masked_corner_score(
             im, th_hi=float(params.ini_th_fast),
-            th_lo=float(params.min_th_fast), border=params.edge_threshold),
-        (img,), args.iters)
-    print(f"fast front  pallas L0: {ms:7.3f} ms")
-    ms = device_loop_ms(
-        lambda im: fast_pallas.blur_and_moments(
-            im, half_patch=params.half_patch_size), (img,), args.iters)
-    print(f"blur+moments pallas L0: {ms:7.3f} ms")
-    ms = device_loop_ms(
-        lambda im: image_ops.gaussian_blur(im, 7, 2.0), (img,), args.iters)
-    print(f"blur jnp L0:            {ms:7.3f} ms")
-    ms = device_loop_ms(
-        lambda im: orb.ic_moment_maps(im, params.half_patch_size),
-        (img,), args.iters)
-    print(f"moments jnp L0:         {ms:7.3f} ms")
+            th_lo=float(params.min_th_fast), border=params.edge_threshold)
+
+    def blurmom_jnp(im):
+        return (image_ops.gaussian_blur(im, 7, 2.0),
+                orb.ic_moment_maps(im, params.half_patch_size))
+
+    def blurmom_pallas(im):
+        return fast_pallas.blur_and_moments(
+            im, half_patch=params.half_patch_size)
+
+    levels = ([int(x) for x in args.levels.split(",")] if args.levels
+              else list(range(params.n_levels)))
+    print(f"{'lvl':4s} {'shape':10s} {'corner_jnp':>11s} {'corner_pal':>11s} "
+          f"{'blurmom_jnp':>12s} {'blurmom_pal':>12s}")
+    for l in levels:
+        h = int(round(cam.height / params.scale_factor ** l))
+        w = int(round(cam.width / params.scale_factor ** l))
+        lvl = img if l == 0 else jnp.asarray(
+            rng.uniform(0, 255, (h, w)).astype(np.float32))
+        row = [device_loop_ms(f, (lvl,), args.iters)
+               for f in (corner_jnp, corner_pallas, blurmom_jnp,
+                         blurmom_pallas)]
+        print(f"L{l:<3d} {str(tuple(lvl.shape)):10s} "
+              + " ".join(f"{ms:11.3f}" for ms in row), flush=True)
+    if args.skip_full:
+        return
 
     for backend in ("jnp", "pallas"):
         orb.FAST_BACKEND = backend

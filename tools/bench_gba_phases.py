@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--obs-per-kf", type=int, default=1000)
     ap.add_argument("--pcg", type=int, default=25)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--probe-convergence", action="store_true",
+                    help="sweeps-to-tolerance curve instead of timings")
     args = ap.parse_args()
 
     from motioncheck_ccm_slam_tpu.parallel import sharded_ba as sb
@@ -62,15 +64,27 @@ def main():
     big = (Wl_t, Wcl_t, Hll_inv_t, Hcc_d, M_inv, cam_idx_l_j, lm_idx_j,
            bounds_j)
 
-    def timeit(name, fn, *a):
-        f = jax.jit(fn)
-        r = f(*a, *big)
-        jax.block_until_ready(r)
+    def timeit(name, fn, *a, reps=None):
+        """Time ``fn`` with ``reps`` in-graph repetitions inside one jitted
+        fori_loop (the carry perturbs the input so XLA cannot hoist the
+        body). A single dispatch on this remote platform costs a fixed
+        ~25 ms regardless of device work — per-call timing of ~20 ms
+        stages would be ~50% overhead."""
+        reps = args.reps if reps is None else reps
+
+        def loop(x0, *rest):
+            def body(_, carry):
+                x, acc = carry
+                r = fn(x * (1.0 + acc * 1e-30), *rest)
+                return x, acc + jnp.sum(r).astype(jnp.float32) * 1e-30
+            _, acc = jax.lax.fori_loop(0, reps, body, (x0, jnp.float32(0.0)))
+            return acc
+
+        f = jax.jit(loop)
+        float(f(*a, *big))                 # compile + warm; fetch completes
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            r = f(*a, *big)
-        jax.block_until_ready(r)
-        ms = (time.perf_counter() - t0) / args.reps * 1e3
+        float(f(*a, *big))
+        ms = (time.perf_counter() - t0) / reps * 1e3
         print(f"{name:34s} {ms:9.1f} ms", flush=True)
         return ms
 
@@ -92,7 +106,7 @@ def main():
                               cam_idx_l_j, lm_idx_j, bounds_j)
         return sb._pcg(mv, bb, M_inv, args.pcg, rtol=0.0)
 
-    ms_pcg = timeit(f"PCG x{args.pcg} (exact matvec)", pcg_full, b)
+    ms_pcg = timeit(f"PCG x{args.pcg} (exact matvec)", pcg_full, b, reps=2)
     ms_mv = timeit("one Schur matvec", matvec, b)
 
     # matvec stages, cumulative

@@ -188,9 +188,10 @@ def main_gba(n_kfs=2048, n_mps=65536, obs_per_kf=1000, pcg_iters=25):
     t_pcg = time_fn(f"pcg solve ({pcg_iters} max)", pcg_full, bc)
 
     def full_iter(Tcw, Xw):
-        (T, X, lam), cost = sharded_ba._gba_iteration(
-            (Tcw, Xw, jnp.float32(1e-4)), obs, K, fixed_cam, fixed_lm, C, L,
-            pcg_iters, ident, cam_plan=cam_plan, lm_plan=lm_plan)
+        (T, X, lam, _g0), cost = sharded_ba._gba_iteration(
+            (Tcw, Xw, jnp.float32(1e-4), jnp.float32(-1.0)), obs, K,
+            fixed_cam, fixed_lm, C, L, pcg_iters, ident,
+            cam_plan=cam_plan, lm_plan=lm_plan)
         return T, X, cost
     t_it = time_fn("full LM iteration (plan)", full_iter, Tcw, Xw)
 
