@@ -166,6 +166,7 @@ def cmd_synth(args):
         print(f"live viewer: {live.url}")
     seqs = [list(s.sequence(args.frames)) for s in scenes]
     import numpy as np
+    progress = os.environ.get("MCSLAM_PROGRESS")
     for i in range(args.frames):
         for cid, c in enumerate(clients):
             t, _, img = seqs[cid][i]
@@ -175,6 +176,9 @@ def cmd_synth(args):
                 img = np.zeros_like(img)
             c.process_image(img, t)
         server.spin_once()
+        if progress and (i + 1) % 10 == 0:
+            print(f"[progress] frame {i + 1}/{args.frames} "
+                  f"t={time.time() - t0:.0f}s", file=sys.stderr, flush=True)
         if live is not None and i % 2 == 0:
             seen, views = set(), {}
             for cid, h in server.handlers.items():
@@ -409,10 +413,18 @@ def main():
     # honor JAX_PLATFORMS even when a sitecustomize registered and pinned an
     # accelerator plugin before we ran (jax.config wins over the env var)
     plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
+    import jax
 
+    if plat:
         jax.config.update("jax_platforms", plat)
+    # persistent compile cache: the product triggers dozens of distinct
+    # jits (extractor, tracking, init RANSAC, local BA, loop battery, GBA)
+    # and remote-TPU compiles are minutes each cold — without this every
+    # CLI run paid the full compile wall again (bench.py/tools already
+    # set it; the CLI forgot to)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MCSLAM_JAX_CACHE", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     p = argparse.ArgumentParser(prog="motioncheck_ccm_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     ps = sub.add_parser("synth", help="synthetic multi-agent run")

@@ -26,11 +26,28 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import lie
+import os
+
+from ..ops import lie, schur_pallas
 from ..solvers import ba_core
 from ..solvers.local_ba import BAResult, _robust_cost
 
 AXIS = "obs"
+
+# Fused Pallas Schur matvec (ops/schur_pallas.py): replaces the two
+# per-sweep 2M-row random gathers + cumsums with VMEM-resident one-hot
+# MXU contractions over landmark-aligned tiles. Auto: on for TPU backends
+# at server scale (the toy fixtures keep the plain XLA formulation — the
+# kernel's tile padding only pays off when a sweep is gather-bound).
+# Override with MCSLAM_PALLAS_SCHUR=0/1.
+PALLAS_SCHUR: str | None = os.environ.get("MCSLAM_PALLAS_SCHUR") or None
+PALLAS_SCHUR_MIN_CAMS = 512
+
+
+def _use_pallas_schur(C: int) -> bool:
+    if PALLAS_SCHUR is not None:
+        return PALLAS_SCHUR == "1"
+    return jax.default_backend() == "tpu" and C >= PALLAS_SCHUR_MIN_CAMS
 
 # Eisenstat-Walker forcing for the inner PCG solve: the reduced camera
 # system only needs to be solved as accurately as the outer LM
@@ -362,7 +379,9 @@ def _obs_pipeline(R_t, t_t, X_t, uv_t, inv_sigma2, valid, K):
 
 def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
                       uv_t, inv_sigma2, valid, lm_idx, lm_bounds,
-                      cam_idx_l, lm_sorted, uv_s, is2_s, valid_s):
+                      cam_idx_l, lm_sorted, uv_s, is2_s, valid_s,
+                      sp_statics=None, sp_perm=None, sp_camid=None,
+                      sp_lmloc=None):
     """One LM iteration in DUAL-LAYOUT component-major form.
 
     The measured cost profile of the previous single-layout formulation
@@ -443,14 +462,29 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     def lm_solve_t(x_t):                                       # (3,L)->(3,L)
         return jnp.einsum("ijl,jl->il", Hll_inv_t, x_t)
 
-    def matvec(v):                                             # (C,6)
-        Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
-        vgl = v.T[:, cam_idx_l]                                # (6,O) tiny-src
-        wtv = jnp.einsum("ijo,io->jo", Wl_t, vgl)              # (3,O)
-        u = lm_solve_t(_lm_sum_t(wtv, lm_bounds))              # (3,L)
-        ug = u[:, lm_idx]                                      # (3,O) gather
-        wu = jnp.einsum("ijo,jo->io", Wcl_t, ug)               # (6,O)
-        return Hv - _cam_sum_t(wu, C, seg).T
+    if sp_statics is not None:
+        # fused Pallas sweep: the W stream is repacked once per LM
+        # iteration into landmark-aligned padded tiles; each S@v is then
+        # two VMEM-resident kernels with no HBM gathers/cumsums.
+        ntl, TP, ngrp, L_pad = sp_statics
+        plan = schur_pallas.SchurPlan(
+            ntl=ntl, TP=TP, n_groups=ngrp, L_pad=L_pad,
+            perm=sp_perm, camid=sp_camid, lmloc=sp_lmloc)
+        Wp = schur_pallas.pack_w(plan, Wl_t)
+        H9 = jnp.pad(Hll_inv_t.reshape(9, L), ((0, 0), (0, L_pad - L)))
+
+        def matvec(v):                                         # (C,6)
+            Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+            return Hv - schur_pallas.schur_apply(plan, Wp, v, H9)
+    else:
+        def matvec(v):                                         # (C,6)
+            Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+            vgl = v.T[:, cam_idx_l]                            # (6,O) tiny-src
+            wtv = jnp.einsum("ijo,io->jo", Wl_t, vgl)          # (3,O)
+            u = lm_solve_t(_lm_sum_t(wtv, lm_bounds))          # (3,L)
+            ug = u[:, lm_idx]                                  # (3,O) gather
+            wu = jnp.einsum("ijo,jo->io", Wcl_t, ug)           # (6,O)
+            return Hv - _cam_sum_t(wu, C, seg).T
 
     u0 = lm_solve_t(bl.T)
     br = bc - _cam_sum_t(
@@ -510,11 +544,12 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
     bodies = {}
     plan_cache: list = [None]
 
-    def _get_body(seg: int):
-        if seg not in bodies:
+    def _get_body(seg: int, sp_statics):
+        key = (seg, sp_statics)
+        if key not in bodies:
             def body_fn(Tcw, Xw, K, fixed_cam, fixed_lm, n_iters,
                         uv_t, inv_sigma2, valid, lm_idx, lm_order, lm_bounds,
-                        cam_idx_l, lm_sorted):
+                        cam_idx_l, lm_sorted, sp_perm, sp_camid, sp_lmloc):
                 C = Tcw.shape[0]
                 L = Xw.shape[0]
                 # loop-invariant landmark-sorted streams: permute once per
@@ -529,6 +564,8 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
                         st, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
                         uv_t, inv_sigma2, valid, lm_idx, lm_bounds,
                         cam_idx_l, lm_sorted, uv_s, is2_s, valid_s,
+                        sp_statics=sp_statics, sp_perm=sp_perm,
+                        sp_camid=sp_camid, sp_lmloc=sp_lmloc,
                     )
                     return st
 
@@ -550,8 +587,8 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
                 inlier = valid & (chi2 <= ba_core.CHI2_MONO) & depth_ok
                 cost = _robust_cost(chi2, inlier)
                 return Tcw_o, Xw_o, inlier, cost
-            bodies[seg] = jax.jit(body_fn)
-        return bodies[seg]
+            bodies[key] = jax.jit(body_fn)
+        return bodies[key]
 
     def gba(Tcw, Xw, obs: ba_core.BAObservations, K, fixed_cam, fixed_lm,
             n_iterations=None):
@@ -566,17 +603,28 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
             lm_np = np.asarray(obs.lm_idx)
             ss = ba_core.build_sorted_segments(lm_np, L)
             order_np = np.asarray(ss.order)
-            cam_idx_l = jnp.asarray(
-                (np.arange(O, dtype=np.int32) // seg)[order_np])
+            cam_np_l = (np.arange(O, dtype=np.int32) // seg)[order_np]
+            cam_idx_l = jnp.asarray(cam_np_l)
             lm_sorted = jnp.asarray(lm_np[order_np])
-            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss, cam_idx_l, lm_sorted)
+            sp = (schur_pallas.build_schur_plan(
+                lm_np[order_np], cam_np_l, C, L)
+                if _use_pallas_schur(C) else None)
+            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss, cam_idx_l,
+                   lm_sorted, sp)
             plan_cache[0] = ent
-        _, _, _, ss, cam_idx_l, lm_sorted = ent
-        body = _get_body(seg)
+        _, _, _, ss, cam_idx_l, lm_sorted, sp = ent
+        if sp is not None:
+            sp_statics = (sp.ntl, sp.TP, sp.n_groups, sp.L_pad)
+            sp_args = (sp.perm, sp.camid, sp.lmloc)
+        else:
+            sp_statics = None
+            z = jnp.zeros((1,), jnp.int32)
+            sp_args = (z, z[None], z[None])
+        body = _get_body(seg, sp_statics)
         Tcw_o, Xw_o, inlier, cost = body(
             Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
             obs.uv.T, obs.inv_sigma2, obs.valid, obs.lm_idx,
-            ss.order, ss.bounds, cam_idx_l, lm_sorted,
+            ss.order, ss.bounds, cam_idx_l, lm_sorted, *sp_args,
         )
         return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
 
