@@ -81,6 +81,16 @@ class SchurPlan(NamedTuple):
 # gather formulation. A width this large only arises from pathological
 # degree skew; real maps sit well below it.
 MAX_TP = 16384
+# Kernel A's VMEM working set scales with BOTH the tile width and the
+# camera count: oh_scr (128,TP) bf16 + res_scr (n_groups*6,TP) f32 +
+# the (18,TP) W block + misc f32 temporaries. Budget it explicitly so a
+# large C (4096+ cameras) with a wide TP takes the documented XLA
+# fallback instead of failing at compile.
+VMEM_BUDGET_BYTES = 12 * 2 ** 20
+
+
+def _plan_vmem_bytes(TP: int, n_groups: int) -> int:
+    return (256 + 72 + 128 + 24 * n_groups) * TP
 
 
 def build_schur_plan(lm_sorted: np.ndarray, cam_sorted: np.ndarray,
@@ -112,7 +122,8 @@ def build_schur_plan(lm_sorted: np.ndarray, cam_sorted: np.ndarray,
     bounds[1:] = np.cumsum(counts)
     tile_counts = bounds[LM_BLOCK::LM_BLOCK] - bounds[:-LM_BLOCK:LM_BLOCK]
     TP = int(_round_up(max(int(tile_counts.max()) if ntl else 1, 1), 128))
-    if TP > MAX_TP:
+    n_groups_chk = _round_up(max(C, 1), CAM_GROUP) // CAM_GROUP
+    if TP > MAX_TP or _plan_vmem_bytes(TP, n_groups_chk) > VMEM_BUDGET_BYTES:
         return None
     OP = ntl * TP
     perm = np.full((ntl, TP), O, np.int64)

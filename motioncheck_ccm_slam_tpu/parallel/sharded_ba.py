@@ -39,12 +39,22 @@ AXIS = "obs"
 # MXU contractions over landmark-aligned tiles. Auto: on for TPU backends
 # at server scale (the toy fixtures keep the plain XLA formulation — the
 # kernel's tile padding only pays off when a sweep is gather-bound).
-# Override with MCSLAM_PALLAS_SCHUR=0/1.
-PALLAS_SCHUR: str | None = os.environ.get("MCSLAM_PALLAS_SCHUR") or None
+# Override with MCSLAM_PALLAS_SCHUR=0/1 (strictly 0/1; anything else is an
+# error rather than a silent fallback).
+
+
+def _env01(name: str, default: str | None = None) -> str | None:
+    v = os.environ.get(name) or default
+    if v is not None and v not in ("0", "1"):
+        raise ValueError(f"{name} must be '0' or '1' (got {v!r})")
+    return v
+
+
+PALLAS_SCHUR: str | None = _env01("MCSLAM_PALLAS_SCHUR")
 PALLAS_SCHUR_MIN_CAMS = 512
 # diagnostic sub-toggles (default on when the Pallas path is active)
-_PL_STREAMS = os.environ.get("MCSLAM_PALLAS_STREAMS", "1") == "1"
-_PL_BRDL = os.environ.get("MCSLAM_PALLAS_BRDL", "1") == "1"
+_PL_STREAMS = _env01("MCSLAM_PALLAS_STREAMS", "1") == "1"
+_PL_BRDL = _env01("MCSLAM_PALLAS_BRDL", "1") == "1"
 
 
 def _use_pallas_schur(C: int) -> bool:
@@ -634,8 +644,13 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
         assert O % C == 0, "matrix-free GBA needs camera-major contiguous obs"
         seg = O // C
         ent = plan_cache[0]
+        # the valid mask participates in the key: the Pallas plan omits
+        # invalid observations from the padded tile stream, so reusing
+        # index arrays with a CHANGED mask must rebuild the plan (a stale
+        # plan would silently drop newly-valid observations)
         if (ent is None or ent[0] is not obs.lm_idx
-                or ent[1] is not obs.cam_idx or ent[2] != (C, L)):
+                or ent[1] is not obs.cam_idx or ent[2] != (C, L)
+                or ent[3] is not obs.valid):
             lm_np = np.asarray(obs.lm_idx)
             ss = ba_core.build_sorted_segments(lm_np, L)
             order_np = np.asarray(ss.order)
@@ -679,9 +694,10 @@ def make_matrix_free_gba(iterations: int = 5, pcg_iters: int = 25):
                 sorted_args = (ss.order, ss.bounds,
                                jnp.asarray(cam_np_l),
                                jnp.asarray(lm_sorted_np))
-            ent = (obs.lm_idx, obs.cam_idx, (C, L), ss, sorted_args, sp)
+            ent = (obs.lm_idx, obs.cam_idx, (C, L), obs.valid,
+                   ss, sorted_args, sp)
             plan_cache[0] = ent
-        _, _, _, ss, sorted_args, sp = ent
+        _, _, _, _, ss, sorted_args, sp = ent
         if sp is not None:
             sp_statics = (sp.ntl, sp.TP, sp.n_groups, sp.L_pad)
             sp_args = (sp.perm, sp.camid, sp.lmloc)

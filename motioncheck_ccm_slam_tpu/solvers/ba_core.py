@@ -270,7 +270,11 @@ def inv33(H, eps: float = 1e-8):
     B = f * g - d * i
     Cc = d * h - e * g
     det = a * A + b * B + c * Cc
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    # sign-preserving floor: flooring a tiny NEGATIVE determinant to +1e-30
+    # would flip the inverse's sign (the helper is used beyond damped SPD
+    # blocks, e.g. inv66_spd's Schur pieces)
+    det_floor = jnp.where(det < 0, -1e-30, 1e-30)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, det_floor, det)
     adj = jnp.stack([
         jnp.stack([A, c * h - b * i, b * f - c * e], -1),
         jnp.stack([B, a * i - c * g, c * d - a * f], -1),
