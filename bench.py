@@ -62,7 +62,12 @@ def bench_gba(jax, jnp):
         uv=jnp.asarray(uv), inv_sigma2=jnp.ones(O, jnp.float32),
         valid=jnp.ones(O, bool),
     )
-    gba = sharded_ba.make_matrix_free_gba(pcg_iters=25)
+    # the product solver stack: fused tile-stream kernels on TPU, with the
+    # dual-layout matrix-free formulation as fallback (same routing as
+    # models/gba._pick_solver on one device)
+    gba = sharded_ba.make_tile_gba(
+        None, pcg_iters=25,
+        fallback=sharded_ba.make_matrix_free_gba(pcg_iters=25))
     fixed_cam = jnp.zeros(C, bool).at[0].set(True)
     fixed_lm = jnp.zeros(L, bool)
     args = (jnp.asarray(Tcw), jnp.asarray(pts), obs, K, fixed_cam, fixed_lm)

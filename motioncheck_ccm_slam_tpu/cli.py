@@ -61,6 +61,17 @@ def _finish(server, clients, out_dir, t0):
     for h in server.handlers.values():
         h.comm.idle_cycles = 10**9
         h.comm.got_data = False
+    # snapshot liveness at the END OF THE RUN PROPER: clients stop beating
+    # once their frame loops end, and the final GBA + export/render work
+    # below is wall-clock heavy on cold caches — computing the silence
+    # report after it flagged every module of a healthy run. The final GBA
+    # itself stays covered: it beats the server watchdog per chunk
+    # (run_gba on_chunk) and a hang there never reaches stats at all.
+    watchdog_silent = (
+        [m for m, _, _ in server.watchdog.silent_modules()]
+        + [f"client{cid}:{m}"
+           for cid, c in enumerate(clients)
+           for m, _, _ in c.watchdog.silent_modules()])
     server.maybe_final_gba()
     # trajectory + map exports (reference WriteStateToCsv + RViz)
     for cid, c in enumerate(clients):
@@ -85,11 +96,9 @@ def _finish(server, clients, out_dir, t0):
     stats = {
         "wall_s": round(time.time() - t0, 1),
         "n_merges": server.n_merges,
-        # liveness (reference mylog watchdog): modules silent > timeout
-        "watchdog_silent": [m for m, _, _ in server.watchdog.silent_modules()]
-        + [f"client{cid}:{m}"
-           for cid, c in enumerate(clients)
-           for m, _, _ in c.watchdog.silent_modules()],
+        # liveness (reference mylog watchdog): modules silent > timeout,
+        # snapshotted before the finish-phase work (see above)
+        "watchdog_silent": watchdog_silent,
         "agents": {
             cid: {
                 "frames": len(c.tracker.trajectory),

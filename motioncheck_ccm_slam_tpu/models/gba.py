@@ -72,16 +72,21 @@ def _pick_solver(C: int, L: int, pcg_iters: int = 25):
             from jax.sharding import Mesh
 
             mesh = Mesh(np.array(jax.devices()), (sharded_ba.AXIS,))
-            _matrix_free_cache[key] = sharded_ba.make_sharded_gba(
-                mesh, pcg_iters=pcg_iters
+            # the fused tile-stream kernels ARE the fast path on any mesh
+            # size; the gather/segment-sum formulation remains as the
+            # fallback for non-TPU backends and VMEM-busting tile widths
+            fb = sharded_ba.make_sharded_gba(mesh, pcg_iters=pcg_iters)
+            _matrix_free_cache[key] = sharded_ba.make_tile_gba(
+                mesh, pcg_iters=pcg_iters, fallback=fb
             )
         return _matrix_free_cache[key]
     if 6 * C * 3 * L * 4 <= DENSE_W_MAX_BYTES:
         return None
     key = pcg_iters
     if key not in _matrix_free_cache:
-        _matrix_free_cache[key] = sharded_ba.make_matrix_free_gba(
-            pcg_iters=pcg_iters
+        fb = sharded_ba.make_matrix_free_gba(pcg_iters=pcg_iters)
+        _matrix_free_cache[key] = sharded_ba.make_tile_gba(
+            None, pcg_iters=pcg_iters, fallback=fb
         )
     return _matrix_free_cache[key]
 
@@ -347,6 +352,7 @@ def run_gba(
     enable_motion_check: Optional[bool] = None,
     sharded_solver=None,
     mc_mode: str = "full",
+    on_chunk: Optional[Callable[[int], None]] = None,
 ) -> GBAResult:
     """Full-map GBA with MC gating, driven to completion (or interruption)
     synchronously. Mutates ``m`` in place. ``interrupt_check`` is polled
@@ -355,7 +361,12 @@ def run_gba(
 
     mc_mode: "full" = delete/revert verdict (final GBA); "gating" = flags
     only (after a loop-closure GBA) — may latch ``m.correct_kf_switch`` off
-    and set ``m.request_gba`` for a follow-up GBA."""
+    and set ``m.request_gba`` for a follow-up GBA.
+
+    ``on_chunk(iterations_done)`` fires after every chunk — liveness
+    heartbeat for long GBAs (the reference's mylog watchdog stamps from
+    inside the GBA thread; a cold-compile first chunk can exceed the
+    silence timeout otherwise)."""
     if iterations is None:
         iterations = config.opt.gba_iterations
     if enable_motion_check is None:
@@ -364,6 +375,10 @@ def run_gba(
                  enable_motion_check=enable_motion_check, chunk=chunk,
                  solver=sharded_solver, mc_mode=mc_mode)
     while not job.step():
+        if on_chunk is not None:
+            on_chunk(job.done)
         if interrupt_check is not None and interrupt_check():
             return job.abort()
+    if on_chunk is not None:
+        on_chunk(job.done)
     return job.finalize()

@@ -310,19 +310,26 @@ def check_structure(m: "MapState", repair: bool = False):
         problems.append(f"{bad_range.sum()} associations out of range")
     if bad_dead.any():
         problems.append(f"{bad_dead.sum()} associations to dead landmarks")
-    # self-parent / dead-parent
-    for s in np.flatnonzero(kf_valid):
-        if parent[s] == s:
-            problems.append(f"KF slot {s} is its own parent")
-        if parent[s] >= 0 and not kf_valid[parent[s]]:
-            problems.append(f"KF slot {s} parent {parent[s]} is dead")
-        if pred[s] >= 0 and not kf_valid[pred[s]]:
-            problems.append(f"KF slot {s} pred {pred[s]} is dead")
+    # self-parent / dead-parent / dead-pred — vectorized (this runs on
+    # fused 2048-KF server maps when something misbehaves; Python loops
+    # over every slot made the diagnostic itself the bottleneck)
+    live = np.flatnonzero(kf_valid)
+    for s in live[parent[live] == live]:
+        problems.append(f"KF slot {s} is its own parent")
+    pl_ = parent[live]
+    dead_par = live[(pl_ >= 0) & ~kf_valid[np.clip(pl_, 0, m.nk - 1)]]
+    for s in dead_par:
+        problems.append(f"KF slot {s} parent {parent[s]} is dead")
+    pr_ = pred[live]
+    dead_pred = live[(pr_ >= 0) & ~kf_valid[np.clip(pr_, 0, m.nk - 1)]]
+    for s in dead_pred:
+        problems.append(f"KF slot {s} pred {pred[s]} is dead")
     # landmarks with dead reference keyframes
-    for s in np.flatnonzero(mp_valid):
-        r = ref_kf[s]
-        if r >= 0 and not kf_valid[r]:
-            problems.append(f"MP slot {s} ref_kf {r} is dead")
+    mlive = np.flatnonzero(mp_valid)
+    rf = ref_kf[mlive]
+    dead_ref = mlive[(rf >= 0) & ~kf_valid[np.clip(rf, 0, m.nk - 1)]]
+    for s in dead_ref:
+        problems.append(f"MP slot {s} ref_kf {ref_kf[s]} is dead")
 
     if repair and problems:
         import jax.numpy as jnp

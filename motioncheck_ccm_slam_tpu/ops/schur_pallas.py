@@ -94,7 +94,8 @@ def _plan_vmem_bytes(TP: int, n_groups: int) -> int:
 
 
 def build_schur_plan(lm_sorted: np.ndarray, cam_sorted: np.ndarray,
-                     C: int, L: int, valid_sorted: np.ndarray = None):
+                     C: int, L: int, valid_sorted: np.ndarray = None,
+                     lpad_multiple: int = 1):
     """lm_sorted: (O,) landmark id per sorted-stream position
     (nondecreasing); cam_sorted: (O,) camera id per sorted position;
     valid_sorted: optional (O,) bool — INVALID observations are omitted
@@ -103,6 +104,9 @@ def build_schur_plan(lm_sorted: np.ndarray, cam_sorted: np.ndarray,
     stream parks every empty feature slot at landmark 0
     (map_state.gather_observations), so without the filter tile 0 would
     hold millions of dead slots and the padded tile width would explode.
+
+    ``lpad_multiple``: pad L_pad to a multiple of LM_BLOCK*lpad_multiple so
+    the tile axis divides evenly across a device mesh of that size.
 
     Returns None when the padded tile width would exceed MAX_TP.
     """
@@ -115,7 +119,7 @@ def build_schur_plan(lm_sorted: np.ndarray, cam_sorted: np.ndarray,
         keep = np.arange(O, dtype=np.int64)
     lm_k = lm_sorted[keep]
     cam_k = cam_sorted[keep]
-    L_pad = _round_up(max(L, 1), LM_BLOCK)
+    L_pad = _round_up(max(L, 1), LM_BLOCK * max(lpad_multiple, 1))
     ntl = L_pad // LM_BLOCK
     counts = np.bincount(lm_k, minlength=L_pad)
     bounds = np.zeros(L_pad + 1, np.int64)
@@ -238,36 +242,20 @@ def _kernel_b(camid_ref, lmloc_ref, w_ref, u_ref, out_ref):
     ug = (jnp.dot(u_hi, oh_lm, preferred_element_type=jnp.float32)
           + jnp.dot(u_lo, oh_lm, preferred_element_type=jnp.float32))
     # wu[i,:] = sum_j W[i*3+j] * ug[j]
-    wu = []
+    rows = []
     for i in range(6):
         acc = w_ref[i * 3, :][None, :] * ug[0, :][None, :]
         for j in range(1, 3):
             acc = acc + w_ref[i * 3 + j, :][None, :] * ug[j, :][None, :]
-        wu.append(acc)
-    wu = jnp.concatenate(wu, axis=0)                          # (6, TP)
-    # camera reduce, group-packed: for each group g,
-    # acc[g*6+i, lo] += sum_o [cam==g*128+lo] wu[i,o]
+        rows.append(acc)
+    # camera reduce, group-packed and GROUP-FUSED: the masked rows of a
+    # GCHUNK of groups are stacked into one operand so the MXU contraction
+    # runs at M = GCHUNK*6 instead of 6 (the per-group skinny dots were
+    # M-bound — measured ~2.6x on the round-4 sweep)
     cam = camid_ref[0, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CAM_GROUP, TP), 0)
-    lo = (cam & (CAM_GROUP - 1))[None, :]
-    oh = (lane == lo).astype(jnp.bfloat16)                    # (128, TP)
-    g = (cam >> 7)[None, :]
+    oh = _cam_onehot(cam, TP)
     ng = out_ref.shape[0] // 6
-    # hi/lo split ONCE, masks applied per group (0/1 bf16 multiply is
-    # exact) -> 2*NG full-rate dots instead of NG emulated-f32 ones
-    wu_hi = wu.astype(jnp.bfloat16)
-    wu_lo = (wu - wu_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dn = (((1,), (1,)), ((), ()))
-    for gi in range(ng):
-        m = (g == gi).astype(jnp.bfloat16)
-        part = (
-            jax.lax.dot_general(wu_hi * m, oh, dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(wu_lo * m, oh, dn,
-                                  preferred_element_type=jnp.float32)
-        )                                                     # (6, 128)
-        out_ref[gi * 6:gi * 6 + 6, :] = (
-            out_ref[gi * 6:gi * 6 + 6, :] + part)
+    _cam_reduce_acc(rows, cam, oh, out_ref, ng, TP)
 
 
 def _kernel_c(camid_ref, lmloc_ref, t0_ref, t1_ref, t2_ref, x8_ref,
@@ -440,3 +428,561 @@ def schur_apply(plan: SchurPlan, Wp, v, Hll_inv9, *, interpret: bool = False):
     """
     u = apply_a(plan, Wp, v, Hll_inv9, interpret=interpret)
     return apply_b(plan, Wp, u, v.shape[0], interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused tile-stream GBA kernels (round 5)
+#
+# The round-4 LM iteration was assembly-bound: the dual-layout formulation
+# still streamed ~40 (., O)-sized intermediates (Jacobian rows, block
+# products, reshape-sums, cumsums) through HBM per iteration, ~290 ms at the
+# server operating point vs ~4 ms per PCG sweep. These kernels compute the
+# ENTIRE linearization in VMEM on the padded landmark-tile stream:
+#
+#   D1 (assemble):  camid/lmloc/uv/is2/valid/free + pose tables + X tiles
+#                   -> W (18,OP), per-obs aux stats (rho/inlier/chi2),
+#                      landmark-reduced Hll+bl (12, L_pad), camera-reduced
+#                      Hcc+bc accumulator (ng*27, 128).
+#   D2 (precond):   W + Hll_inv -> camera-reduced true-Schur-diagonal
+#                   correction (ng*21, 128).
+#   D0 (cost):      candidate pose tables + X tiles -> robust-cost scalar.
+#   S  (sweep):     W + v -> per-camera W Hll^-1 W^T v in ONE pass (kernels
+#                   A and B fused; u never leaves VMEM).
+#
+# Per-observation data never re-enters HBM between "gather", "Jacobian",
+# "product" and "reduce" stages; the only large HBM arrays per iteration are
+# the W stream written once by D1 and read by D2/S. Camera reductions use a
+# GROUP-FUSED one-hot contraction: the per-group masked rows are stacked
+# into one (chunk*R, TP) operand so the MXU sees M ~ 100 instead of
+# M = 6 -- the round-4 kernel-B group loop issued 2*ng skinny dots per tile
+# and was M-bound.
+#
+# Sharding: tiles are LANDMARK-ALIGNED, so splitting the grid over a device
+# mesh along the tile axis makes every landmark-side quantity (Hll, bl,
+# Hll_inv, u, dl) shard-local; only the (C,6)-sized camera reductions and
+# scalar costs need a psum. parallel/sharded_ba builds exactly that.
+#
+# Reference semantics: the inner linearization of Optimizer::MapFusionGBA
+# (reference src/Optimizer.cpp:646) -- residual/Jacobian/Huber per
+# g2o::EdgeSE3ProjectXYZ, left-multiplicative se3, b = -J^T W r.
+# ---------------------------------------------------------------------------
+
+# Hcc / S66 are symmetric: only the upper triangle is reduced.
+PAIRS6 = [(i, j) for i in range(6) for j in range(i, 6)]   # 21
+D1_CAM_ROWS = len(PAIRS6) + 6      # 21 Hcc + 6 bc
+D2_CAM_ROWS = len(PAIRS6)          # 21 S66
+GCHUNK = 4                         # camera groups per fused reduce chunk
+HUBER_DELTA = 2.447                # sqrt(5.991) -- ba_core.HUBER_DELTA
+
+
+def _split2(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _cam_onehot(cam, TP):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CAM_GROUP, TP), 0)
+    return (lane == (cam & (CAM_GROUP - 1))[None, :]).astype(jnp.bfloat16)
+
+
+def _lm_onehot(lml, TP):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LM_BLOCK, TP), 0)
+    return (lane == lml[None, :]).astype(jnp.bfloat16)
+
+
+def _expand_cam_rows(res, g, ng, R, TP):
+    """res (ng*R, TP) candidate rows -> R rows selected by group id."""
+    rows = []
+    for r in range(R):
+        acc = jnp.zeros((1, TP), jnp.float32)
+        for gi in range(ng):
+            m = (g == gi).astype(jnp.float32)
+            acc = acc + m * res[gi * R + r, :][None, :]
+        rows.append(acc)
+    return rows
+
+
+def _cam_reduce_acc(rows, cam, oh, acc_ref, ng, TP):
+    """Group-fused camera reduction of ``rows`` (list of (1,TP) f32) into
+    the resident accumulator acc_ref (ng*R, 128): row g*R+r holds
+    sum_{o: cam(o) = g*128+lo} rows[r][o] at lane lo. Exact to the
+    two-term bf16 split (~2^-17 relative; 0/1 one-hot and masks are exact).
+    The caller zeroes acc_ref at grid step 0 (pl.when).
+    """
+    R = len(rows)
+    stack = jnp.concatenate(rows, axis=0)                    # (R, TP) f32
+    hi, lo_ = _split2(stack)
+    g = (cam >> 7)[None, :]
+    dn = (((1,), (1,)), ((), ()))
+    for g0 in range(0, ng, GCHUNK):
+        gs = range(g0, min(g0 + GCHUNK, ng))
+        mh = jnp.concatenate(
+            [hi * (g == gi).astype(jnp.bfloat16) for gi in gs], axis=0)
+        ml = jnp.concatenate(
+            [lo_ * (g == gi).astype(jnp.bfloat16) for gi in gs], axis=0)
+        part = (
+            jax.lax.dot_general(mh, oh, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(ml, oh, dn,
+                                  preferred_element_type=jnp.float32)
+        )                                                    # (chunk*R, 128)
+        sl = slice(g0 * R, (g0 + len(list(gs))) * R)
+        acc_ref[sl, :] = acc_ref[sl, :] + part
+
+
+def _pose_point_streams(camid_ref, lmloc_ref, t0_ref, t1_ref, t2_ref,
+                        x8_ref, res_scr):
+    """Shared expansion: camera table rows (9 R + 3 t, THREE-term bf16
+    split -> f32-exact) and landmark positions (rows 0-2 of the x8 tile
+    block) per observation slot. Returns (R rows[9], t rows[3],
+    X rows[3], oh_cam, oh_lm, cam)."""
+    TP = camid_ref.shape[1]
+    cam = camid_ref[0, :]
+    oh = _cam_onehot(cam, TP)
+    res_scr[:] = (
+        jnp.dot(t0_ref[:], oh, preferred_element_type=jnp.float32)
+        + jnp.dot(t1_ref[:], oh, preferred_element_type=jnp.float32)
+        + jnp.dot(t2_ref[:], oh, preferred_element_type=jnp.float32)
+    )
+    ng = t0_ref.shape[0] // 12
+    g = (cam >> 7)[None, :]
+    rows = _expand_cam_rows(res_scr[:], g, ng, 12, TP)
+    oh_lm = _lm_onehot(lmloc_ref[0, :], TP)
+    x3 = x8_ref[0:3, :]
+    x_a = x3.astype(jnp.bfloat16)
+    r1 = x3 - x_a.astype(jnp.float32)
+    x_b = r1.astype(jnp.bfloat16)
+    x_c = (r1 - x_b.astype(jnp.float32)).astype(jnp.bfloat16)
+    xg = (jnp.dot(x_a, oh_lm, preferred_element_type=jnp.float32)
+          + jnp.dot(x_b, oh_lm, preferred_element_type=jnp.float32)
+          + jnp.dot(x_c, oh_lm, preferred_element_type=jnp.float32))
+    X = [xg[i, :][None, :] for i in range(3)]
+    return rows[:9], rows[9:12], X, oh, oh_lm, cam
+
+
+def _project(Rr, tr, X, uv_ref, is2_ref, valid_ref, kp_ref):
+    """Reprojection pipeline on (1,TP) rows. Returns
+    (pc rows[3], iz, rx, ry, chi2, w, rho, inlier, depth_f, valid)."""
+    fx = kp_ref[0, 0]
+    fy = kp_ref[0, 1]
+    cx = kp_ref[0, 2]
+    cy = kp_ref[0, 3]
+    pc0 = Rr[0] * X[0] + Rr[1] * X[1] + Rr[2] * X[2] + tr[0]
+    pc1 = Rr[3] * X[0] + Rr[4] * X[1] + Rr[5] * X[2] + tr[1]
+    pc2 = Rr[6] * X[0] + Rr[7] * X[1] + Rr[8] * X[2] + tr[2]
+    depth_f = (pc2 > 1e-6).astype(jnp.float32)
+    zs = jnp.where(pc2 > 1e-6, pc2, 1.0)
+    iz = 1.0 / zs
+    rx = uv_ref[0, :][None, :] - (fx * pc0 * iz + cx)
+    ry = uv_ref[1, :][None, :] - (fy * pc1 * iz + cy)
+    is2 = is2_ref[0, :][None, :]
+    valid = valid_ref[0, :][None, :]
+    chi2 = (rx * rx + ry * ry) * is2
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    d = HUBER_DELTA
+    hw = jnp.where(e <= d, 1.0, d / e)
+    w = is2 * hw * valid * depth_f
+    rho = jnp.where(e <= d, chi2, 2.0 * d * e - d * d) * valid
+    inlier = valid * depth_f * (chi2 <= 5.991).astype(jnp.float32)
+    return (pc0, pc1, pc2), iz, rx, ry, chi2, w, rho, inlier, depth_f
+
+
+def _d1_kernel(camid_ref, lmloc_ref, uv_ref, is2_ref, valid_ref, free_ref,
+               kp_ref, t0_ref, t1_ref, t2_ref, x8_ref,
+               w_ref, aux_ref, hll_ref, acc_ref, res_scr):
+    t = pl.program_id(0)
+    TP = camid_ref.shape[1]
+    ng = t0_ref.shape[0] // 12
+    Rr, tr, X, oh, oh_lm, cam = _pose_point_streams(
+        camid_ref, lmloc_ref, t0_ref, t1_ref, t2_ref, x8_ref, res_scr)
+    pc, iz, rx, ry, chi2, w, rho, inlier, _depth = _project(
+        Rr, tr, X, uv_ref, is2_ref, valid_ref, kp_ref)
+    pc0, pc1, pc2 = pc
+    fx = kp_ref[0, 0]
+    fy = kp_ref[0, 1]
+    a00 = fx * iz
+    a02 = -fx * pc0 * iz * iz
+    a11 = fy * iz
+    a12 = -fy * pc1 * iz * iz
+    # Jc = -dproj @ [-hat(pc) | I]  (2 x 6), expanded per entry
+    Jc0 = [-(a02 * pc1), -(a00 * pc2 - a02 * pc0), a00 * pc1,
+           -a00, jnp.zeros_like(a00), -a02]
+    Jc1 = [a11 * pc2 - a12 * pc1, a12 * pc0, -a11 * pc0,
+           jnp.zeros_like(a11), -a11, -a12]
+    # Jl = -dproj @ R  (2 x 3)
+    Jl0 = [-(a00 * Rr[j] + a02 * Rr[6 + j]) for j in range(3)]
+    Jl1 = [-(a11 * Rr[3 + j] + a12 * Rr[6 + j]) for j in range(3)]
+    # W stream (free-masked: observations of fixed entities contribute no
+    # Schur coupling; their Hcc/Hll rows are overwritten host-side)
+    wf = w * free_ref[0, :][None, :]
+    for i in range(6):
+        for j in range(3):
+            w_ref[i * 3 + j, :] = (
+                wf * (Jc0[i] * Jl0[j] + Jc1[i] * Jl1[j]))[0, :]
+    aux_ref[0, :] = rho[0, :]
+    aux_ref[1, :] = inlier[0, :]
+    aux_ref[2, :] = chi2[0, :]
+    aux_ref[3:8, :] = jnp.zeros((5, TP), jnp.float32)
+    # landmark-reduced Hll (9 rows) + bl (3 rows): exact-split dots against
+    # the tile-local one-hot
+    lm_rows = []
+    for j in range(3):
+        for k in range(3):
+            lm_rows.append(w * (Jl0[j] * Jl0[k] + Jl1[j] * Jl1[k]))
+    for j in range(3):
+        lm_rows.append(-w * (Jl0[j] * rx + Jl1[j] * ry))
+    lm_stack = jnp.concatenate(lm_rows, axis=0)              # (12, TP)
+    hi, lo_ = _split2(lm_stack)
+    dn = (((1,), (1,)), ((), ()))
+    hll_ref[:] = (
+        jax.lax.dot_general(hi, oh_lm, dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(lo_, oh_lm, dn,
+                              preferred_element_type=jnp.float32)
+    )
+    # camera-reduced Hcc upper triangle (21) + bc (6)
+    cam_rows = []
+    for (i, j) in PAIRS6:
+        cam_rows.append(w * (Jc0[i] * Jc0[j] + Jc1[i] * Jc1[j]))
+    for i in range(6):
+        cam_rows.append(-w * (Jc0[i] * rx + Jc1[i] * ry))
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _cam_reduce_acc(cam_rows, cam, oh, acc_ref, ng, TP)
+
+
+def _d2_kernel(camid_ref, lmloc_ref, w_ref, h9_ref, acc_ref):
+    """True-Schur-diagonal correction: per-camera sum of W Hll^-1 W^T
+    (upper triangle), group-fused. Hll_inv expands by the tile-local
+    one-hot with a two-term split (preconditioner accuracy is uncritical).
+    """
+    t = pl.program_id(0)
+    TP = camid_ref.shape[1]
+    cam = camid_ref[0, :]
+    oh = _cam_onehot(cam, TP)
+    oh_lm = _lm_onehot(lmloc_ref[0, :], TP)
+    h_hi, h_lo = _split2(h9_ref[:])
+    G = (jnp.dot(h_hi, oh_lm, preferred_element_type=jnp.float32)
+         + jnp.dot(h_lo, oh_lm, preferred_element_type=jnp.float32))
+    Wr = [w_ref[k, :][None, :] for k in range(18)]
+    Gr = [G[k, :][None, :] for k in range(9)]
+    WG = [None] * 18
+    for i in range(6):
+        for k in range(3):
+            WG[i * 3 + k] = (Wr[i * 3 + 0] * Gr[0 * 3 + k]
+                             + Wr[i * 3 + 1] * Gr[1 * 3 + k]
+                             + Wr[i * 3 + 2] * Gr[2 * 3 + k])
+    rows = []
+    for (i, j) in PAIRS6:
+        rows.append(WG[i * 3 + 0] * Wr[j * 3 + 0]
+                    + WG[i * 3 + 1] * Wr[j * 3 + 1]
+                    + WG[i * 3 + 2] * Wr[j * 3 + 2])
+    ng = acc_ref.shape[0] // D2_CAM_ROWS
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _cam_reduce_acc(rows, cam, oh, acc_ref, ng, TP)
+
+
+def _d0_kernel(camid_ref, lmloc_ref, uv_ref, is2_ref, valid_ref, kp_ref,
+               t0_ref, t1_ref, t2_ref, x8_ref, acc_ref, res_scr):
+    """Robust cost of a (candidate) state: one masked-scalar accumulator."""
+    t = pl.program_id(0)
+    Rr, tr, X, _oh, _oh_lm, _cam = _pose_point_streams(
+        camid_ref, lmloc_ref, t0_ref, t1_ref, t2_ref, x8_ref, res_scr)
+    _pc, _iz, _rx, _ry, _chi2, _w, rho, _inl, _d = _project(
+        Rr, tr, X, uv_ref, is2_ref, valid_ref, kp_ref)
+    partial = jnp.sum(rho)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    upd = jnp.where((r_i == 0) & (c_i == 0), partial, 0.0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + upd
+
+
+def _s_kernel(camid_ref, lmloc_ref, w_ref, vhi_ref, vlo_ref, h9_ref,
+              acc_ref, oh_scr, res_scr):
+    """Fused PCG sweep: kernel A's landmark stage feeds kernel B's camera
+    stage without u ever leaving VMEM (the tile is landmark-aligned, so u
+    for this tile's landmarks is complete after the tile-local reduce).
+    The camera reduction is group-fused (M = chunk*6, not 6)."""
+    t = pl.program_id(0)
+    TP = camid_ref.shape[1]
+    cam = camid_ref[0, :]
+    oh_scr[:] = _cam_onehot(cam, TP)
+    res_scr[:] = (
+        jnp.dot(vhi_ref[:], oh_scr[:], preferred_element_type=jnp.float32)
+        + jnp.dot(vlo_ref[:], oh_scr[:], preferred_element_type=jnp.float32)
+    )
+    ng = vhi_ref.shape[0] // 6
+    g = (cam >> 7)[None, :]
+    v_sel = _expand_cam_rows(res_scr[:], g, ng, 6, TP)
+    wtv = []
+    for j in range(3):
+        acc = w_ref[j, :][None, :] * v_sel[0]
+        for i in range(1, 6):
+            acc = acc + w_ref[i * 3 + j, :][None, :] * v_sel[i]
+        wtv.append(acc)
+    wtv = jnp.concatenate(wtv, axis=0)                       # (3, TP)
+    oh_lm = _lm_onehot(lmloc_ref[0, :], TP)
+    dn = (((1,), (1,)), ((), ()))
+    hi, lo_ = _split2(wtv)
+    u_part = (
+        jax.lax.dot_general(hi, oh_lm, dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(lo_, oh_lm, dn,
+                              preferred_element_type=jnp.float32)
+    )                                                        # (3, 128)
+    u = []
+    for i in range(3):
+        acc = h9_ref[i * 3, :][None, :] * u_part[0, :][None, :]
+        for j2 in range(1, 3):
+            acc = acc + (h9_ref[i * 3 + j2, :][None, :]
+                         * u_part[j2, :][None, :])
+        u.append(acc)
+    u3 = jnp.concatenate(u, axis=0)                          # (3, 128)
+    u_hi, u_lo = _split2(u3)
+    ug = (jnp.dot(u_hi, oh_lm, preferred_element_type=jnp.float32)
+          + jnp.dot(u_lo, oh_lm, preferred_element_type=jnp.float32))
+    rows = []
+    for i in range(6):
+        acc = w_ref[i * 3, :][None, :] * ug[0, :][None, :]
+        for j in range(1, 3):
+            acc = acc + w_ref[i * 3 + j, :][None, :] * ug[j, :][None, :]
+        rows.append(acc)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _cam_reduce_acc(rows, cam, oh_scr[:], acc_ref, ng, TP)
+
+
+# -- host-side wrappers ------------------------------------------------------
+
+IU6 = np.array([p[0] for p in PAIRS6])
+JU6 = np.array([p[1] for p in PAIRS6])
+
+
+def _interp(interpret: bool) -> bool:
+    return (interpret or FORCE_INTERPRET
+            or jax.default_backend() != "tpu")
+
+
+def pose_tables(Tcw, ng: int):
+    """(C,4,4) poses -> three-term bf16 split camera tables (ng*12, 128):
+    row g*12+r, lane lo = component r (9 R row-major + 3 t) of camera
+    g*128+lo. Three terms keep the expansion f32-exact (~2^-24)."""
+    C = Tcw.shape[0]
+    C_pad = ng * CAM_GROUP
+    tab = jnp.concatenate(
+        [Tcw[:, :3, :3].reshape(C, 9), Tcw[:, :3, 3]], axis=1)
+    tab = jnp.pad(tab, ((0, C_pad - C), (0, 0)))
+    T_all = tab.reshape(ng, CAM_GROUP, 12).transpose(0, 2, 1).reshape(
+        ng * 12, CAM_GROUP)
+    t0 = T_all.astype(jnp.bfloat16)
+    r1 = T_all - t0.astype(jnp.float32)
+    t1 = r1.astype(jnp.bfloat16)
+    t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return t0, t1, t2
+
+
+def point_table(Xw_T, L_pad: int):
+    """(3, L) landmark positions -> (8, L_pad) tile-sliceable table."""
+    X8 = jnp.zeros((8, L_pad), Xw_T.dtype)
+    return jax.lax.dynamic_update_slice(X8, Xw_T, (0, 0))
+
+
+def _obs_spec(rows: int, TP: int):
+    return pl.BlockSpec((rows, TP), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _lm_spec(rows: int):
+    return pl.BlockSpec((rows, LM_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+_FULL = pl.BlockSpec(memory_space=pltpu.VMEM)
+_SMEM = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _acc_spec(rows: int):
+    """Grid-resident accumulator: constant index map, flushed once."""
+    return pl.BlockSpec((rows, CAM_GROUP), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def d1_assemble(camid, lmloc, uv2, is21, valid1, free1, kp, t0, t1, t2,
+                X8, *, TP: int, interpret: bool = False):
+    """One fused linearization pass over the padded tile stream.
+
+    Returns (W18 (18,OP), aux (8,OP): rho/inlier/chi2 rows,
+    hllbl (12, L_pad): 9 Hll + 3 bl rows, cam_acc (ng*27, 128)).
+    """
+    OP = camid.shape[1]
+    ntl = OP // TP
+    L_pad = X8.shape[1]
+    ng = t0.shape[0] // 12
+    return pl.pallas_call(
+        _d1_kernel,
+        grid=(ntl,),
+        out_shape=[
+            jax.ShapeDtypeStruct((18, OP), jnp.float32),
+            jax.ShapeDtypeStruct((8, OP), jnp.float32),
+            jax.ShapeDtypeStruct((12, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((ng * D1_CAM_ROWS, CAM_GROUP),
+                                 jnp.float32),
+        ],
+        in_specs=[_obs_spec(1, TP), _obs_spec(1, TP), _obs_spec(2, TP),
+                  _obs_spec(1, TP), _obs_spec(1, TP), _obs_spec(1, TP),
+                  _SMEM, _FULL, _FULL, _FULL, _lm_spec(8)],
+        out_specs=[_obs_spec(18, TP), _obs_spec(8, TP), _lm_spec(12),
+                   _acc_spec(ng * D1_CAM_ROWS)],
+        scratch_shapes=[pltpu.VMEM((ng * 12, TP), jnp.float32)],
+        interpret=_interp(interpret),
+    )(camid, lmloc, uv2, is21, valid1, free1, kp, t0, t1, t2, X8)
+
+
+def d2_precond(camid, lmloc, W18, H9, *, TP: int, ng: int,
+               interpret: bool = False):
+    """Camera-reduced upper triangle of sum_obs W Hll^-1 W^T:
+    (ng*21, 128)."""
+    OP = camid.shape[1]
+    ntl = OP // TP
+    return pl.pallas_call(
+        _d2_kernel,
+        grid=(ntl,),
+        out_shape=jax.ShapeDtypeStruct((ng * D2_CAM_ROWS, CAM_GROUP),
+                                       jnp.float32),
+        in_specs=[_obs_spec(1, TP), _obs_spec(1, TP), _obs_spec(18, TP),
+                  _lm_spec(9)],
+        out_specs=_acc_spec(ng * D2_CAM_ROWS),
+        interpret=_interp(interpret),
+    )(camid, lmloc, W18, H9)
+
+
+def d0_cost(camid, lmloc, uv2, is21, valid1, kp, t0, t1, t2, X8, *,
+            TP: int, interpret: bool = False):
+    """Robust cost of a state over the (local) tile stream -> f32 scalar."""
+    OP = camid.shape[1]
+    ntl = OP // TP
+    ng = t0.shape[0] // 12
+    acc = pl.pallas_call(
+        _d0_kernel,
+        grid=(ntl,),
+        out_shape=jax.ShapeDtypeStruct((8, CAM_GROUP), jnp.float32),
+        in_specs=[_obs_spec(1, TP), _obs_spec(1, TP), _obs_spec(2, TP),
+                  _obs_spec(1, TP), _obs_spec(1, TP),
+                  _SMEM, _FULL, _FULL, _FULL, _lm_spec(8)],
+        out_specs=_acc_spec(8),
+        scratch_shapes=[pltpu.VMEM((ng * 12, TP), jnp.float32)],
+        interpret=_interp(interpret),
+    )(camid, lmloc, uv2, is21, valid1, kp, t0, t1, t2, X8)
+    return acc[0, 0]
+
+
+def pack_v(v, ng: int):
+    """(C,6) -> two bf16 split operands (ng*6, 128) for kernels A/S."""
+    C = v.shape[0]
+    C_pad = ng * CAM_GROUP
+    vp = jnp.pad(v, ((0, C_pad - C), (0, 0)))
+    V_all = vp.reshape(ng, CAM_GROUP, 6).transpose(0, 2, 1).reshape(
+        ng * 6, CAM_GROUP)
+    return _split2(V_all)
+
+
+def unpack_cam(acc, C: int, rows: int):
+    """(ng*rows, 128) group-packed accumulator -> (C, rows)."""
+    ng = acc.shape[0] // rows
+    return acc.reshape(ng, rows, CAM_GROUP).transpose(0, 2, 1).reshape(
+        ng * CAM_GROUP, rows)[:C]
+
+
+def sym6_from_tri(tri):
+    """(C, 21) upper-triangle rows -> (C, 6, 6) symmetric."""
+    C = tri.shape[0]
+    H = jnp.zeros((C, 6, 6), tri.dtype)
+    H = H.at[:, IU6, JU6].set(tri)
+    return H.at[:, JU6, IU6].set(tri)
+
+
+def apply_a_raw(camid, lmloc, W18, v, H9, *, TP: int,
+                interpret: bool = False):
+    """Kernel A on raw tile-stream arrays: u (8, L_pad) = Hll_inv @
+    sum_obs W^T v[cam], rows 0-2 live. L_pad = H9.shape[1] (local under
+    sharding — the landmark reduction is tile-local, so no psum is needed
+    on the output)."""
+    OP = camid.shape[1]
+    ntl = OP // TP
+    C = v.shape[0]
+    ng = _round_up(max(C, 1), CAM_GROUP) // CAM_GROUP
+    vhi, vlo = pack_v(v, ng)
+    L_pad = H9.shape[1]
+    return pl.pallas_call(
+        _kernel_a,
+        grid=(ntl,),
+        out_shape=jax.ShapeDtypeStruct((8, L_pad), jnp.float32),
+        in_specs=[_obs_spec(1, TP), _obs_spec(1, TP), _obs_spec(18, TP),
+                  _FULL, _FULL, _lm_spec(9)],
+        out_specs=_lm_spec(8),
+        scratch_shapes=[
+            pltpu.VMEM((CAM_GROUP, TP), jnp.bfloat16),
+            pltpu.VMEM((ng * 6, TP), jnp.float32),
+        ],
+        interpret=_interp(interpret),
+    )(camid, lmloc, W18, vhi, vlo, H9)
+
+
+def apply_b_raw(camid, lmloc, W18, u8, C: int, *, TP: int,
+                interpret: bool = False):
+    """Kernel B on raw tile-stream arrays: (C,6) per-camera sums of
+    W @ u8[lm] (partial under sharding: psum outside)."""
+    OP = camid.shape[1]
+    ntl = OP // TP
+    ng = _round_up(max(C, 1), CAM_GROUP) // CAM_GROUP
+    w_pack = pl.pallas_call(
+        _kernel_b,
+        grid=(ntl,),
+        out_shape=jax.ShapeDtypeStruct((ng * 6, CAM_GROUP), jnp.float32),
+        in_specs=[_obs_spec(1, TP), _obs_spec(1, TP), _obs_spec(18, TP),
+                  _lm_spec(8)],
+        out_specs=_acc_spec(ng * 6),
+        interpret=_interp(interpret),
+    )(camid, lmloc, W18, u8)
+    return unpack_cam(w_pack, C, 6)
+
+
+def s_apply(camid, lmloc, W18, v, H9, *, TP: int, interpret: bool = False):
+    """One fused W Hll^-1 W^T v PCG product -> (C, 6) per-camera sums
+    (partial under sharding: psum outside). Replaces apply_a+apply_b in
+    the sweep loop — W is read once, u never leaves VMEM."""
+    OP = camid.shape[1]
+    ntl = OP // TP
+    C = v.shape[0]
+    ng = _round_up(max(C, 1), CAM_GROUP) // CAM_GROUP
+    vhi, vlo = pack_v(v, ng)
+    acc = pl.pallas_call(
+        _s_kernel,
+        grid=(ntl,),
+        out_shape=jax.ShapeDtypeStruct((ng * 6, CAM_GROUP), jnp.float32),
+        in_specs=[_obs_spec(1, TP), _obs_spec(1, TP), _obs_spec(18, TP),
+                  _FULL, _FULL, _lm_spec(9)],
+        out_specs=_acc_spec(ng * 6),
+        scratch_shapes=[
+            pltpu.VMEM((CAM_GROUP, TP), jnp.bfloat16),
+            pltpu.VMEM((ng * 6, TP), jnp.float32),
+        ],
+        interpret=_interp(interpret),
+    )(camid, lmloc, W18, vhi, vlo, H9)
+    return unpack_cam(acc, C, 6)

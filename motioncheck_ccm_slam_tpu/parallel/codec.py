@@ -17,7 +17,7 @@ import numpy as np
 from ..utils import native
 from . import comm as comm_mod
 
-VERSION = 2
+VERSION = 3   # v3: KfMsg carries the mTcpar parent-relative fallback
 
 
 def _w_arr(buf: io.BytesIO, arr: np.ndarray, dtype):
@@ -50,6 +50,9 @@ def encode(msg: comm_mod.MapMsg) -> bytes:
         buf.write(struct.pack("<iidii", k.kf_id, k.client_id, k.timestamp,
                               k.pred_id, k.parent_id))
         _w_arr(buf, k.Tcp, np.float32)
+        buf.write(struct.pack("<B", int(k.Tcpar is not None)))
+        if k.Tcpar is not None:
+            _w_arr(buf, k.Tcpar, np.float32)
         _w_arr(buf, k.xy, np.float32)
         _w_arr(buf, k.angle, np.float32)
         _w_arr(buf, k.octave, np.int32)
@@ -94,6 +97,11 @@ def decode(payload: bytes) -> comm_mod.MapMsg:
         kf_id, cid, ts, pred, parent = struct.unpack_from("<iidii", mv, off)
         off += struct.calcsize("<iidii")
         Tcp, off = _r_arr(mv, off, np.float32, (4, 4))
+        (has_par,) = struct.unpack_from("<B", mv, off)
+        off += 1
+        Tcpar = None
+        if has_par:
+            Tcpar, off = _r_arr(mv, off, np.float32, (4, 4))
         xy, off = _r_arr(mv, off, np.float32)
         xy = xy.reshape(-1, 2)
         angle, off = _r_arr(mv, off, np.float32)
@@ -106,7 +114,7 @@ def decode(payload: bytes) -> comm_mod.MapMsg:
             kf_id=kf_id, client_id=cid, timestamp=ts, Tcp=Tcp,
             pred_id=pred, parent_id=parent, xy=xy, angle=angle,
             octave=octave, desc=desc, feat_valid=feat_valid.astype(bool),
-            mp_ids=mp_ids,
+            mp_ids=mp_ids, Tcpar=Tcpar,
         ))
     for _ in range(n_kfr):
         kf_id, cid, pred = struct.unpack_from("<iii", mv, off)

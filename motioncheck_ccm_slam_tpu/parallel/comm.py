@@ -36,6 +36,11 @@ from ..models import map_state as ms
 from ..models import mapping as mapping_mod
 from ..ops import lie
 
+# "never published" sentinels for the vectorized movement tests: +inf
+# always registers as moved
+_NEVER44 = np.full((4, 4), np.inf, np.float32)
+_NEVER3 = np.full((3,), np.inf, np.float32)
+
 
 # ---------------------------------------------------------------------------
 # Wire messages (numpy payloads; dataclasses are the schema)
@@ -57,6 +62,11 @@ class KfMsg:
     desc: np.ndarray           # (F, 8) u32
     feat_valid: np.ndarray     # (F,) bool
     mp_ids: np.ndarray         # (F,) i64 landmark id or -1 (same client)
+    # fallback pose relative to the PARENT KF (reference KF.msg mTcpar,
+    # src/KeyFrame.cpp:1420-1458): a predecessor trimmed client-side after
+    # this KF was encoded would otherwise strand the KF in the server's
+    # deferral queue forever
+    Tcpar: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -176,6 +186,9 @@ class ClientComm:
         default_factory=dict)
     last_pub_mp_pos: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)
+    # highest kf id ever shipped (reference Map.msg mClosestKfId) —
+    # incremental, so the per-tick publish never scans the acked sets
+    _max_pub_kf_id: int = -1
 
     def on_new_keyframe(self, m: ms.MapState, slot: int):
         self.pending_kfs.append(slot)
@@ -297,6 +310,8 @@ class ClientComm:
                 Tcp = Tcw_np[slot]
             parent = int(parent_np[slot])
             parent_id = int(kf_ids_np[parent]) if parent >= 0 else -1
+            Tcpar = (Tcw_np[slot] @ np.linalg.inv(Tcw_np[parent])
+                     if parent >= 0 and kf_valid_np[parent] else None)
             mp_slots_row = mpidx_b[i]
             mp_ids = np.full(mp_slots_row.shape, -1, np.int64)
             have = mp_slots_row >= 0
@@ -307,10 +322,12 @@ class ClientComm:
                 Tcp=Tcp, pred_id=pred_id, parent_id=parent_id,
                 xy=xy_b[i], angle=angle_b[i], octave=octave_b[i],
                 desc=desc_b[i], feat_valid=fv_b[i], mp_ids=mp_ids,
+                Tcpar=Tcpar,
             )
             out.keyframes.append(msg_kf)
             self.sent_unacked_kf.add(kf_id)
             self.sent_kf_once.add(kf_id)
+            self._max_pub_kf_id = max(self._max_pub_kf_id, kf_id)
             self.last_pub_kf_pose[kf_id] = Tcw_np[slot].copy()
             # ship this KF's new landmarks (payload descriptors are gathered
             # in one fetch after selection)
@@ -346,57 +363,95 @@ class ClientComm:
                 out.map_points[pos].desc = desc_mb[j]
         # reduced pose updates for acked KFs whose pose CHANGED since the
         # last publish (local BA moved them), budgeted like full messages
-        # (reference KFred.msg + Comm.Client.KfItBound conf/config.yaml:89)
+        # (reference KFred.msg + Comm.Client.KfItBound conf/config.yaml:89).
+        # The scan iterates LIVE SLOTS (bounded by the clipped client map
+        # capacity) with one vectorized movement test — never the
+        # ever-acked id set, which grows with run length.
         red_budget = max(0, cfg.client_kf_it_bound - len(out.keyframes))
-        for kf_id in sorted(self.acked_kf, reverse=True):
-            if len(out.keyframes_red) >= red_budget:
-                break
-            slot = m.kf_slot_by_id.get((kf_id, self.client_id))
-            if slot is None or not kf_valid_np[slot]:
-                continue
-            Tcw = Tcw_np[slot]
-            last = self.last_pub_kf_pose.get(kf_id)
-            if last is not None and np.allclose(Tcw, last, atol=1e-6):
-                continue
-            pred = int(pred_np[slot])
-            if pred >= 0 and kf_valid_np[pred]:
-                pred_id = int(kf_ids_np[pred])
-                Tcp = Tcw @ np.linalg.inv(Tcw_np[pred])
-            else:
-                pred_id = -1
-                Tcp = Tcw
-            out.keyframes_red.append(
-                KfRedMsg(kf_id=kf_id, client_id=self.client_id,
-                         Tcp=Tcp, pred_id=pred_id)
-            )
-            self.last_pub_kf_pose[kf_id] = Tcw.copy()
+        kf_client_np = np.asarray(m.kf.client_id)
+        own_kf = np.flatnonzero(kf_valid_np
+                                & (kf_client_np == self.client_id))
+        if red_budget > 0 and len(own_kf):
+            cand = [(int(kf_ids_np[s]), int(s)) for s in own_kf
+                    if int(kf_ids_np[s]) in self.acked_kf]
+            cand.sort(reverse=True)
+            if cand:
+                slots_c = np.asarray([s for _, s in cand])
+                lasts = np.stack([
+                    self.last_pub_kf_pose.get(i, _NEVER44)
+                    for i, _ in cand])
+                moved = ~np.all(
+                    np.abs(Tcw_np[slots_c] - lasts) <= 1e-6, axis=(1, 2))
+                for (kf_id, slot), mv in zip(cand, moved):
+                    if len(out.keyframes_red) >= red_budget:
+                        break
+                    if not mv:
+                        continue
+                    Tcw = Tcw_np[slot]
+                    pred = int(pred_np[slot])
+                    if pred >= 0 and kf_valid_np[pred]:
+                        pred_id = int(kf_ids_np[pred])
+                        Tcp = Tcw @ np.linalg.inv(Tcw_np[pred])
+                    else:
+                        pred_id = -1
+                        Tcp = Tcw
+                    out.keyframes_red.append(
+                        KfRedMsg(kf_id=kf_id, client_id=self.client_id,
+                                 Tcp=Tcp, pred_id=pred_id)
+                    )
+                    self.last_pub_kf_pose[kf_id] = Tcw.copy()
         # reduced position updates for acked landmarks that moved
-        # (reference MPred.msg + MpItBound)
+        # (reference MPred.msg + MpItBound) — same bounded slot scan
         mp_red_budget = max(0, cfg.client_mp_it_bound - mp_sent)
-        for mp_id in sorted(self.acked_mp, reverse=True):
-            if len(out.map_points_red) >= mp_red_budget:
-                break
-            mslot = m.mp_slot_by_id.get((mp_id, self.client_id))
-            if mslot is None or not mp_valid_np[mslot]:
-                continue
-            X = Xw_np[mslot]
-            last = self.last_pub_mp_pos.get(mp_id)
-            if last is not None and np.allclose(X, last, atol=1e-6):
-                continue
-            ref = int(ref_kf_np[mslot])
-            if ref < 0 or not kf_valid_np[ref]:
-                continue
-            Tcw_ref = Tcw_np[ref]
-            out.map_points_red.append(MpRedMsg(
-                mp_id=mp_id, client_id=self.client_id,
-                pos_ref=Tcw_ref[:3, :3] @ X + Tcw_ref[:3, 3],
-                ref_kf_id=int(kf_ids_np[ref]),
-            ))
-            self.last_pub_mp_pos[mp_id] = X.copy()
+        mp_client_np = np.asarray(m.mp.client_id)
+        own_mp = np.flatnonzero(mp_valid_np
+                                & (mp_client_np == self.client_id))
+        if mp_red_budget > 0 and len(own_mp):
+            cand = [(int(mp_id_np[s]), int(s)) for s in own_mp
+                    if int(mp_id_np[s]) in self.acked_mp]
+            cand.sort(reverse=True)
+            if cand:
+                slots_c = np.asarray([s for _, s in cand])
+                lasts = np.stack([
+                    self.last_pub_mp_pos.get(i, _NEVER3) for i, _ in cand])
+                moved = ~np.all(
+                    np.abs(Xw_np[slots_c] - lasts) <= 1e-6, axis=1)
+                for (mp_id, mslot), mv in zip(cand, moved):
+                    if len(out.map_points_red) >= mp_red_budget:
+                        break
+                    if not mv:
+                        continue
+                    X = Xw_np[mslot]
+                    ref = int(ref_kf_np[mslot])
+                    if ref < 0 or not kf_valid_np[ref]:
+                        continue
+                    Tcw_ref = Tcw_np[ref]
+                    out.map_points_red.append(MpRedMsg(
+                        mp_id=mp_id, client_id=self.client_id,
+                        pos_ref=Tcw_ref[:3, :3] @ X + Tcw_ref[:3, 3],
+                        ref_kf_id=int(kf_ids_np[ref]),
+                    ))
+                    self.last_pub_mp_pos[mp_id] = X.copy()
+        # bound the last-published dicts: ids trimmed out of the clipped
+        # client map can never be re-published — drop their entries (and
+        # their acked-set ids) once the dicts outgrow the live map 4x
+        if len(self.last_pub_mp_pos) > 4 * max(len(own_mp), 16):
+            live_ids = {int(mp_id_np[s]) for s in own_mp}
+            self.last_pub_mp_pos = {
+                i: v for i, v in self.last_pub_mp_pos.items()
+                if i in live_ids}
+            self.acked_mp &= (live_ids | self.sent_unacked_mp)
+        if len(self.last_pub_kf_pose) > 4 * max(len(own_kf), 16):
+            live_ids = {int(kf_ids_np[s]) for s in own_kf}
+            self.last_pub_kf_pose = {
+                i: v for i, v in self.last_pub_kf_pose.items()
+                if i in live_ids}
+            self.acked_kf &= (live_ids | self.sent_unacked_kf)
         # current reference KF: the server centers its vicinity window on it
-        # (reference Map.msg mClosestKfId)
-        if len(self.acked_kf) or len(self.sent_unacked_kf):
-            out.closest_kf_id = max(self.acked_kf | self.sent_unacked_kf)
+        # (reference Map.msg mClosestKfId) — tracked incrementally, ids
+        # only grow
+        if self._max_pub_kf_id >= 0:
+            out.closest_kf_id = self._max_pub_kf_id
         self.channel.client_send(out)
         self.n_published += 1
 
@@ -527,10 +582,21 @@ class ServerComm:
         if msg.pred_id >= 0:
             pred_slot = self._resolve_kf(msg.pred_id)
             if pred_slot is None:
-                return False  # defer until predecessor arrives
-            Tcw = self._rel_client_to_map(msg.Tcp) \
-                @ self._tcw_host(pred_slot)
-            pred = pred_slot
+                # mTcpar fallback (reference src/KeyFrame.cpp:1420-1458):
+                # chain through the parent instead — a predecessor trimmed
+                # client-side after this KF was encoded may never arrive
+                par_slot = (self._resolve_kf(msg.parent_id)
+                            if msg.parent_id >= 0
+                            and msg.Tcpar is not None else None)
+                if par_slot is None:
+                    return False  # defer until a reference arrives
+                Tcw = self._rel_client_to_map(msg.Tcpar) \
+                    @ self._tcw_host(par_slot)
+                pred = -1
+            else:
+                Tcw = self._rel_client_to_map(msg.Tcp) \
+                    @ self._tcw_host(pred_slot)
+                pred = pred_slot
         else:
             Tcw = self._pose_client_to_map(msg.Tcp)
             pred = -1

@@ -350,7 +350,10 @@ class ServerSystem:
             ic = None
             if self.config.comm.interrupt_gba_on_input:
                 ic = lambda m=h.map: self._fresh_data_for(m)  # noqa: E731
-            res = gba_mod.run_gba(h.map, self.config, interrupt_check=ic)
+            res = gba_mod.run_gba(
+                h.map, self.config, interrupt_check=ic,
+                on_chunk=lambda done: self.watchdog.beat(
+                    "final_gba", f"{done} iters"))
             if res.interrupted:
                 self.n_gba_interrupts += 1
                 # re-arm: the agent(s) of this map came back; require a

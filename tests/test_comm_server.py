@@ -166,3 +166,61 @@ def test_watchdog_beats(client_server_run):
     assert not server.watchdog.silent_modules()
     assert "comm0" in server.watchdog.report()
     assert not client.watchdog.silent_modules()
+
+
+def _mk_kf_msg(kf_id, pred_id, parent_id, Tcp, Tcpar=None, F=512):
+    return comm_mod.KfMsg(
+        kf_id=kf_id, client_id=0, timestamp=float(kf_id),
+        Tcp=np.asarray(Tcp, np.float32), pred_id=pred_id,
+        parent_id=parent_id,
+        xy=np.zeros((F, 2), np.float32), angle=np.zeros(F, np.float32),
+        octave=np.zeros(F, np.int32), desc=np.zeros((F, 8), np.uint32),
+        feat_valid=np.zeros(F, bool), mp_ids=np.full(F, -1, np.int64),
+        Tcpar=(None if Tcpar is None else np.asarray(Tcpar, np.float32)),
+    )
+
+
+def test_lost_predecessor_parent_fallback():
+    """A KF whose predecessor was trimmed client-side before ever shipping
+    must still integrate through the mTcpar parent-relative fallback
+    (reference cslam_msgs/msg/KF.msg:31-32, src/KeyFrame.cpp:1420-1458);
+    without any resolvable reference it stays deferred, not lost."""
+    server = ServerSystem(config=TEST_CONFIG, n_agents=1)
+    ch = server.channel_for(0)
+    h = server.handlers[0]
+
+    T0 = np.eye(4, dtype=np.float32)
+    msg = comm_mod.MapMsg(sender_client_id=0)
+    msg.keyframes.append(_mk_kf_msg(0, -1, -1, T0))
+    ch.client_send(msg)
+    server.spin_once()
+    assert (0, 0) in h.map.kf_slot_by_id
+
+    # kf 5: predecessor 3 NEVER shipped (client-trimmed); parent 0 known.
+    # Tcpar moves 0.3 along x relative to kf 0.
+    Tcpar = np.eye(4, dtype=np.float32)
+    Tcpar[0, 3] = 0.3
+    bogus_Tcp = np.eye(4, dtype=np.float32)
+    bogus_Tcp[0, 3] = 99.0   # must NOT be used
+    msg = comm_mod.MapMsg(sender_client_id=0)
+    msg.keyframes.append(_mk_kf_msg(5, 3, 0, bogus_Tcp, Tcpar=Tcpar))
+    # kf 9: neither predecessor 7 nor parent 8 exists -> defer, don't drop
+    msg.keyframes.append(_mk_kf_msg(9, 7, 8, bogus_Tcp, Tcpar=Tcpar))
+    ch.client_send(msg)
+    server.spin_once()
+
+    slot5 = h.map.kf_slot_by_id.get((5, 0))
+    assert slot5 is not None, "parent fallback did not integrate the KF"
+    Tcw5 = np.asarray(h.map.kf.Tcw[slot5])
+    slot0 = h.map.kf_slot_by_id[(0, 0)]
+    expect = Tcpar @ np.asarray(h.map.kf.Tcw[slot0])
+    assert np.abs(Tcw5 - expect).max() < 1e-4
+    assert (9, 0) not in h.map.kf_slot_by_id
+    assert any(k.kf_id == 9 for k in h.comm.deferred_kfs)
+    # when parent 8 finally arrives, kf 9 integrates on the next cycle
+    msg = comm_mod.MapMsg(sender_client_id=0)
+    msg.keyframes.append(_mk_kf_msg(8, -1, -1, T0))
+    ch.client_send(msg)
+    server.spin_once()
+    server.spin_once()
+    assert (9, 0) in h.map.kf_slot_by_id
