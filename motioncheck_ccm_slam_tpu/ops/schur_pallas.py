@@ -174,11 +174,7 @@ def _kernel_a(camid_ref, lmloc_ref, w_ref, vhi_ref, vlo_ref, hll_ref,
     )
     g = (cam >> 7)[None, :]
     ng = vhi_ref.shape[0] // 6
-    v_sel = [jnp.zeros((1, TP), jnp.float32)] * 6
-    for gi in range(ng):
-        m = (g == gi).astype(jnp.float32)
-        for i in range(6):
-            v_sel[i] = v_sel[i] + m * res_scr[gi * 6 + i, :][None, :]
+    v_sel = _expand_cam_rows(res_scr[:], g, ng, 6, TP)
     # wtv[j,:] = sum_i W[i*3+j] * v_sel[i]
     wtv = []
     for j in range(3):
@@ -361,13 +357,7 @@ def apply_a(plan: SchurPlan, Wp, v, Hll_inv9, *, interpret: bool = False):
     C = v.shape[0]
     ng = plan.n_groups
     TP, ntl = plan.TP, plan.ntl
-    C_pad = ng * CAM_GROUP
-    vp = jnp.pad(v, ((0, C_pad - C), (0, 0)))
-    # V packed (NG*6, 128): row g*6+i, col lo = v[g*128+lo, i]
-    V_all = vp.reshape(ng, CAM_GROUP, 6).transpose(0, 2, 1).reshape(
-        ng * 6, CAM_GROUP)
-    vhi = V_all.astype(jnp.bfloat16)
-    vlo = (V_all - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    vhi, vlo = pack_v(v, ng)
 
     tile = lambda i: (0, i)
     spec_obs = pl.BlockSpec((1, TP), tile, memory_space=pltpu.VMEM)
@@ -492,13 +482,25 @@ def _lm_onehot(lml, TP):
 
 
 def _expand_cam_rows(res, g, ng, R, TP):
-    """res (ng*R, TP) candidate rows -> R rows selected by group id."""
+    """res (R*ng, TP), row r*ng + gi (COMPONENT-MAJOR packing, see
+    pack_v/pose_tables) -> R rows (1,TP): out[r][o] = res[r*ng+g(o), o].
+
+    Groups are selected in sublane blocks of 8: the per-group (1,TP)
+    mask-accumulate form used 1/8 of the VPU; masking a contiguous
+    (8,TP) block of candidates and sublane-reducing runs at full width.
+    Masks are built once and shared across all R components."""
+    blocks = [(k, min(8, ng - k)) for k in range(0, ng, 8)]
+    masks = []
+    for k, nb in blocks:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (nb, TP), 0)
+        masks.append((g - k == iota).astype(jnp.float32))       # (nb, TP)
     rows = []
     for r in range(R):
-        acc = jnp.zeros((1, TP), jnp.float32)
-        for gi in range(ng):
-            m = (g == gi).astype(jnp.float32)
-            acc = acc + m * res[gi * R + r, :][None, :]
+        acc = None
+        for (k, nb), m in zip(blocks, masks):
+            part = jnp.sum(res[r * ng + k:r * ng + k + nb, :] * m,
+                           axis=0, keepdims=True)
+            acc = part if acc is None else acc + part
         rows.append(acc)
     return rows
 
@@ -780,16 +782,18 @@ def _interp(interpret: bool) -> bool:
 
 
 def pose_tables(Tcw, ng: int):
-    """(C,4,4) poses -> three-term bf16 split camera tables (ng*12, 128):
-    row g*12+r, lane lo = component r (9 R row-major + 3 t) of camera
-    g*128+lo. Three terms keep the expansion f32-exact (~2^-24)."""
+    """(C,4,4) poses -> three-term bf16 split camera tables (12*ng, 128):
+    COMPONENT-MAJOR row r*ng+g, lane lo = component r (9 R row-major +
+    3 t) of camera g*128+lo — each component's group candidates are
+    contiguous so _expand_cam_rows selects on full (8,TP) blocks. Three
+    terms keep the expansion f32-exact (~2^-24)."""
     C = Tcw.shape[0]
     C_pad = ng * CAM_GROUP
     tab = jnp.concatenate(
         [Tcw[:, :3, :3].reshape(C, 9), Tcw[:, :3, 3]], axis=1)
     tab = jnp.pad(tab, ((0, C_pad - C), (0, 0)))
-    T_all = tab.reshape(ng, CAM_GROUP, 12).transpose(0, 2, 1).reshape(
-        ng * 12, CAM_GROUP)
+    T_all = tab.reshape(ng, CAM_GROUP, 12).transpose(2, 0, 1).reshape(
+        12 * ng, CAM_GROUP)
     t0 = T_all.astype(jnp.bfloat16)
     r1 = T_all - t0.astype(jnp.float32)
     t1 = r1.astype(jnp.bfloat16)
@@ -893,12 +897,14 @@ def d0_cost(camid, lmloc, uv2, is21, valid1, kp, t0, t1, t2, X8, *,
 
 
 def pack_v(v, ng: int):
-    """(C,6) -> two bf16 split operands (ng*6, 128) for kernels A/S."""
+    """(C,6) -> two bf16 split operands (6*ng, 128) for kernels A/S:
+    COMPONENT-MAJOR row i*ng+g, lane lo = v[g*128+lo, i] (see
+    pose_tables)."""
     C = v.shape[0]
     C_pad = ng * CAM_GROUP
     vp = jnp.pad(v, ((0, C_pad - C), (0, 0)))
-    V_all = vp.reshape(ng, CAM_GROUP, 6).transpose(0, 2, 1).reshape(
-        ng * 6, CAM_GROUP)
+    V_all = vp.reshape(ng, CAM_GROUP, 6).transpose(2, 0, 1).reshape(
+        6 * ng, CAM_GROUP)
     return _split2(V_all)
 
 

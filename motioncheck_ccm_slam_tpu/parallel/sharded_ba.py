@@ -437,10 +437,21 @@ def _tile_iteration(state, K4, fixed_cam, fixed_lm_loc, C, ng, TP, L_loc,
     S_diag = Hcc_d - schur_pallas.sym6_from_tri(S21)
     M_inv = ba_core.inv66_spd(S_diag + 1e-6 * eye6[None])
 
-    def matvec(v):
-        Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
-        return Hv - reduce(schur_pallas.s_apply(
-            camid, lmloc, W18, v, H9, TP=TP))
+    # PCG sweep kernel choice: the fused S kernel reads W once per sweep,
+    # but the split A+B pair measured faster on the v5e (5.9 vs 7.1 ms —
+    # S's larger VMEM working set costs more than the extra W read saves).
+    # MCSLAM_TILE_SWEEP=s forces the fused kernel.
+    if os.environ.get("MCSLAM_TILE_SWEEP", "ab") == "s":
+        def matvec(v):
+            Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+            return Hv - reduce(schur_pallas.s_apply(
+                camid, lmloc, W18, v, H9, TP=TP))
+    else:
+        def matvec(v):
+            Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+            u8 = schur_pallas.apply_a_raw(camid, lmloc, W18, v, H9, TP=TP)
+            return Hv - reduce(schur_pallas.apply_b_raw(
+                camid, lmloc, W18, u8, C, TP=TP))
 
     gnorm = jnp.linalg.norm(br)
     g0 = jnp.where(g0 > 0, g0, gnorm)
