@@ -54,6 +54,18 @@ def _build_system(config, n_agents):
     return server, clients
 
 
+def _peak_rss_mb():
+    """Process peak RSS (VmHWM) in MB; None off-Linux."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+    except OSError:
+        pass
+    return None
+
+
 def _finish(server, clients, out_dir, t0):
     from .utils import viewer
 
@@ -99,6 +111,16 @@ def _finish(server, clients, out_dir, t0):
         # liveness (reference mylog watchdog): modules silent > timeout,
         # snapshotted before the finish-phase work (see above)
         "watchdog_silent": watchdog_silent,
+        # soak observability: host memory high-water mark + per-tick comm
+        # wall time (reference output_commtime.txt) — flat tick_ms_mean and
+        # bounded RSS over long runs are the host-side-growth invariants
+        "peak_rss_mb": _peak_rss_mb(),
+        "comm": {
+            "server": {cid: h.comm.tick_stats()
+                       for cid, h in server.handlers.items()},
+            "clients": {cid: c.comm.tick_stats()
+                        for cid, c in enumerate(clients)},
+        },
         "agents": {
             cid: {
                 "frames": len(c.tracker.trajectory),

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import time
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -189,9 +190,20 @@ class ClientComm:
     # highest kf id ever shipped (reference Map.msg mClosestKfId) —
     # incremental, so the per-tick publish never scans the acked sets
     _max_pub_kf_id: int = -1
+    # soak observability (reference output_commtime.txt,
+    # src/Communicator.cpp:119-137): per-tick wall time aggregates
+    tick_count: int = 0
+    tick_time_total_s: float = 0.0
+    tick_time_max_s: float = 0.0
 
     def on_new_keyframe(self, m: ms.MapState, slot: int):
         self.pending_kfs.append(slot)
+
+    def tick_stats(self) -> Dict[str, float]:
+        n = max(self.tick_count, 1)
+        return {"ticks": self.tick_count,
+                "tick_ms_mean": round(1e3 * self.tick_time_total_s / n, 3),
+                "tick_ms_max": round(1e3 * self.tick_time_max_s, 3)}
 
     # -- main tick ------------------------------------------------------
     # Every device->host crossing is batched: the per-map scalars/poses are
@@ -202,6 +214,16 @@ class ClientComm:
     # sub-millisecond host<->device round trips per second.
     def tick(self, m: ms.MapState):
         """One comm cycle: drain server messages (acks), publish pending."""
+        t0 = time.perf_counter()
+        try:
+            return self._tick(m)
+        finally:
+            dt = time.perf_counter() - t0
+            self.tick_count += 1
+            self.tick_time_total_s += dt
+            self.tick_time_max_s = max(self.tick_time_max_s, dt)
+
+    def _tick(self, m: ms.MapState):
         kf = m.kf
         kf_ids_np = np.asarray(kf.kf_id)
         kf_valid_np = np.asarray(kf.valid)
@@ -512,6 +534,16 @@ class ServerComm:
     # src/KeyFrame.cpp:1351,1367 multiplies translations by the scale)
     S_wm_wc: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=np.float64))
+    # soak observability (reference output_commtime.txt)
+    tick_count: int = 0
+    tick_time_total_s: float = 0.0
+    tick_time_max_s: float = 0.0
+
+    def tick_stats(self) -> Dict[str, float]:
+        n = max(self.tick_count, 1)
+        return {"ticks": self.tick_count,
+                "tick_ms_mean": round(1e3 * self.tick_time_total_s / n, 3),
+                "tick_ms_max": round(1e3 * self.tick_time_max_s, 3)}
 
     def compose_fusion_sim3(self, S_fusion: np.ndarray):
         """The map this agent streams into was transformed by ``S_fusion``
@@ -724,6 +756,16 @@ class ServerComm:
         tick start, one scatter per staged batch (landmark inserts, landmark
         updates, reduced pose updates, late-bound associations) at the end —
         O(1) transfers per tick instead of per entity."""
+        t0 = time.perf_counter()
+        try:
+            return self._tick()
+        finally:
+            dt = time.perf_counter() - t0
+            self.tick_count += 1
+            self.tick_time_total_s += dt
+            self.tick_time_max_s = max(self.tick_time_max_s, dt)
+
+    def _tick(self) -> MapMsg:
         cfg = self.config.comm
         self._snapshot()
         self._mp_new, self._mp_upd = [], []
