@@ -393,12 +393,13 @@ def build_tile_plan(obs: ba_core.BAObservations, C: int, L: int,
     )
 
 
-def _tile_iteration(state, K4, fixed_cam, fixed_lm_loc, C, ng, TP, L_loc,
-                    pcg_iters, camid, lmloc, uv_s, is2_s, valid_s, free_s,
-                    reduce):
-    """One LM iteration on the (local) tile stream. ``reduce`` psums
-    camera-side partials over the mesh (identity on one device)."""
-    Tcw, Xw_loc, lam, g0 = state
+def _tile_linearize(Tcw, Xw_loc, C, K4, ng, L_loc, TP, camid, lmloc, uv_s,
+                    is2_s, valid_s, free_s, reduce):
+    """One fused D1 pass at (Tcw, Xw): returns the full linearization
+    (W stream, aux rows, landmark Hll+bl, reduced camera Hcc+bc) plus the
+    exact robust cost of the state. The LM loop carries this tuple so the
+    candidate evaluation IS the next iteration's assembly (speculative
+    linearization — the separate D0 cost pass is gone)."""
     t0, t1, t2 = schur_pallas.pose_tables(Tcw, ng)
     X8 = schur_pallas.point_table(Xw_loc.T, L_loc)
     W18, aux, hllbl, acc1 = schur_pallas.d1_assemble(
@@ -407,6 +408,21 @@ def _tile_iteration(state, K4, fixed_cam, fixed_lm_loc, C, ng, TP, L_loc,
     cost = reduce(jnp.sum(aux[0]))
     cam27 = schur_pallas.unpack_cam(reduce(acc1), C,
                                     schur_pallas.D1_CAM_ROWS)
+    return W18, aux[0:3], hllbl, cam27, cost
+
+
+def _tile_iteration(state, K4, fixed_cam, fixed_lm_loc, C, ng, TP, L_loc,
+                    pcg_iters, camid, lmloc, uv_s, is2_s, valid_s, free_s,
+                    reduce):
+    """One LM iteration on the (local) tile stream. ``reduce`` psums
+    camera-side partials over the mesh (identity on one device).
+
+    The state carries the linearization OF the carried (Tcw, Xw): the
+    candidate state's D1 pass both prices the step (accept/reject on its
+    exact robust cost) and, when accepted, becomes the next iteration's
+    assembly — one fused pass per LM iteration instead of assemble+cost
+    (the D0 pass was ~18% of the round-5 iteration)."""
+    Tcw, Xw_loc, lam, g0, W18, aux3, hllbl, cam27, cost = state
     Hcc = schur_pallas.sym6_from_tri(cam27[:, :21])
     bc = cam27[:, 21:]
     Hll = hllbl[0:9].T.reshape(L_loc, 3, 3)
@@ -464,20 +480,25 @@ def _tile_iteration(state, K4, fixed_cam, fixed_lm_loc, C, ng, TP, L_loc,
     dl = u0 - a3.T
     dl = jnp.where(fixed_lm_loc[:, None], 0.0, dl)
 
-    # accept / reject on the exact robust cost (kernel D0)
+    # speculative candidate linearization: one fused D1 pass both prices
+    # the step (exact robust cost) and produces the linearization the next
+    # iteration assembles from when the step is accepted
     T_new = ba_core.apply_pose_update(Tcw, dc, mask=~fixed_cam)
     X_new = Xw_loc + dl
-    t0n, t1n, t2n = schur_pallas.pose_tables(T_new, ng)
-    X8n = schur_pallas.point_table(X_new.T, L_loc)
-    cost_new = reduce(schur_pallas.d0_cost(
-        camid, lmloc, uv_s, is2_s, valid_s, K4, t0n, t1n, t2n, X8n,
-        TP=TP))
+    Wn, auxn, hllbln, cam27n, cost_new = _tile_linearize(
+        T_new, X_new, C, K4, ng, L_loc, TP, camid, lmloc, uv_s, is2_s,
+        valid_s, free_s, reduce)
     accept = cost_new < cost
     Tcw = jnp.where(accept, T_new, Tcw)
     Xw_loc = jnp.where(accept, X_new, Xw_loc)
+    W18 = jnp.where(accept, Wn, W18)
+    aux3 = jnp.where(accept, auxn, aux3)
+    hllbl = jnp.where(accept, hllbln, hllbl)
+    cam27 = jnp.where(accept, cam27n, cam27)
+    cost = jnp.where(accept, cost_new, cost)
     lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8),
                     jnp.minimum(lam * 4.0, 1e4))
-    return (Tcw, Xw_loc, lam, g0), cost_new
+    return (Tcw, Xw_loc, lam, g0, W18, aux3, hllbl, cam27, cost), cost_new
 
 
 def _tile_body(Tcw, Xw_pad, K4, fixed_cam, fixed_lm_pad, n_iters,
@@ -488,23 +509,25 @@ def _tile_body(Tcw, Xw_pad, K4, fixed_cam, fixed_lm_pad, n_iters,
     device-local block."""
     L_loc = Xw_pad.shape[0]
 
+    lin0 = _tile_linearize(
+        Tcw, Xw_pad, C, K4, ng, L_loc, TP, camid, lmloc, uv_s, is2_s,
+        valid_s, free_s, reduce)
+
     def it(_, st):
         st, _cost = _tile_iteration(
             st, K4, fixed_cam, fixed_lm_pad, C, ng, TP, L_loc, pcg_iters,
             camid, lmloc, uv_s, is2_s, valid_s, free_s, reduce)
         return st
 
-    Tcw_o, Xw_o, lam, _g0 = jax.lax.fori_loop(
-        0, n_iters, it, (Tcw, Xw_pad, jnp.float32(1e-4), jnp.float32(-1.0))
+    Tcw_o, Xw_o, lam, _g0, _W, aux3, _h, _c27, _cost = jax.lax.fori_loop(
+        0, n_iters, it,
+        (Tcw, Xw_pad, jnp.float32(1e-4), jnp.float32(-1.0)) + lin0
     )
-    # final inlier classification: one more assembly pass, aux rows only
-    t0, t1, t2 = schur_pallas.pose_tables(Tcw_o, ng)
-    X8 = schur_pallas.point_table(Xw_o.T, L_loc)
-    _W, aux, _h, _a = schur_pallas.d1_assemble(
-        camid, lmloc, uv_s, is2_s, valid_s, free_s, K4, t0, t1, t2, X8,
-        TP=TP)
-    inlier = aux[1] > 0.5                                      # (OP_loc,)
-    cost = reduce(jnp.sum(aux[1] * aux[2]))
+    # final inlier classification: the carried linearization is OF the
+    # carried state (accepted or initial), so its aux rows ARE the
+    # classification — no extra assembly pass
+    inlier = aux3[1] > 0.5                                     # (OP_loc,)
+    cost = reduce(jnp.sum(aux3[1] * aux3[2]))
     return Tcw_o, Xw_o, inlier, cost
 
 
