@@ -149,14 +149,38 @@ def build_schur_plan(lm_sorted: np.ndarray, cam_sorted: np.ndarray,
 
 
 def pack_w(plan: SchurPlan, Wl_t):
-    """(6,3,O) sorted-stream W -> (18, ntl*TP) padded tile stream.
+    """(6,3,O) sorted-stream W -> (18, ntl*TP) padded tile stream in the
+    kernels' J-MAJOR row order (row j*6+i holds W[i,j]): the landmark
+    index j varies slowest so the sweep kernels consume W in full
+    (6,TP)/(18,TP) blocks instead of (1,TP) rows.
 
     One (18, OP) gather per LM ITERATION (pad slots read a zero column),
     amortized over every PCG sweep of that iteration.
     """
-    W18 = Wl_t.reshape(18, -1)
+    W18 = Wl_t.transpose(1, 0, 2).reshape(18, -1)
     W18z = jnp.concatenate([W18, jnp.zeros((18, 1), W18.dtype)], axis=1)
     return W18z[:, plan.perm]
+
+
+def _wtv_jm(w18, v_sel, TP):
+    """wtv[j] = sum_i W[i,j] v[i] on the J-MAJOR W stream (row j*6+i =
+    W[i,j]): one full-width (18,TP) multiply + three 6-row sublane
+    reductions — replaces 18 (1,TP) multiply-adds (1/8 VPU width)."""
+    v6 = jnp.concatenate(v_sel, axis=0)                   # (6, TP)
+    prod = w18 * jnp.concatenate([v6, v6, v6], axis=0)    # (18, TP)
+    return jnp.concatenate(
+        [jnp.sum(prod[j * 6:(j + 1) * 6], axis=0, keepdims=True)
+         for j in range(3)], axis=0)                      # (3, TP)
+
+
+def _wu_jm(w18, ug, TP):
+    """rows6[i] = sum_j W[i,j] ug[j] on the J-MAJOR W stream: one
+    full-width multiply + two adds of aligned (6,TP) slabs."""
+    ug18 = jnp.concatenate(
+        [jnp.broadcast_to(ug[j:j + 1, :], (6, TP)) for j in range(3)],
+        axis=0)
+    prod = w18 * ug18                                     # (18, TP)
+    return prod[0:6] + prod[6:12] + prod[12:18]           # (6, TP)
 
 
 def _kernel_a(camid_ref, lmloc_ref, w_ref, vhi_ref, vlo_ref, hll_ref,
@@ -175,14 +199,7 @@ def _kernel_a(camid_ref, lmloc_ref, w_ref, vhi_ref, vlo_ref, hll_ref,
     g = (cam >> 7)[None, :]
     ng = vhi_ref.shape[0] // 6
     v_sel = _expand_cam_rows(res_scr[:], g, ng, 6, TP)
-    # wtv[j,:] = sum_i W[i*3+j] * v_sel[i]
-    wtv = []
-    for j in range(3):
-        acc = w_ref[j, :][None, :] * v_sel[0]
-        for i in range(1, 6):
-            acc = acc + w_ref[i * 3 + j, :][None, :] * v_sel[i]
-        wtv.append(acc)
-    wtv = jnp.concatenate(wtv, axis=0)                       # (3, TP)
+    wtv = _wtv_jm(w_ref[:], v_sel, TP)                       # (3, TP)
     # landmark one-hot (tile-local), then u_part = wtv @ oh_lm^T.
     # Default-precision TPU dots round f32 operands to bf16 (this
     # silently corrupted the first on-chip run); Precision.HIGHEST costs
@@ -237,13 +254,7 @@ def _kernel_b(camid_ref, lmloc_ref, w_ref, u_ref, out_ref):
     u_lo = (u3 - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     ug = (jnp.dot(u_hi, oh_lm, preferred_element_type=jnp.float32)
           + jnp.dot(u_lo, oh_lm, preferred_element_type=jnp.float32))
-    # wu[i,:] = sum_j W[i*3+j] * ug[j]
-    rows = []
-    for i in range(6):
-        acc = w_ref[i * 3, :][None, :] * ug[0, :][None, :]
-        for j in range(1, 3):
-            acc = acc + w_ref[i * 3 + j, :][None, :] * ug[j, :][None, :]
-        rows.append(acc)
+    rows6 = _wu_jm(w_ref[:], ug, TP)                         # (6, TP)
     # camera reduce, group-packed and GROUP-FUSED: the masked rows of a
     # GCHUNK of groups are stacked into one operand so the MXU contraction
     # runs at M = GCHUNK*6 instead of 6 (the per-group skinny dots were
@@ -251,7 +262,7 @@ def _kernel_b(camid_ref, lmloc_ref, w_ref, u_ref, out_ref):
     cam = camid_ref[0, :]
     oh = _cam_onehot(cam, TP)
     ng = out_ref.shape[0] // 6
-    _cam_reduce_acc(rows, cam, oh, out_ref, ng, TP)
+    _cam_reduce_acc(rows6, cam, oh, out_ref, ng, TP)
 
 
 def _kernel_c(camid_ref, lmloc_ref, t0_ref, t1_ref, t2_ref, x8_ref,
@@ -506,14 +517,18 @@ def _expand_cam_rows(res, g, ng, R, TP):
 
 
 def _cam_reduce_acc(rows, cam, oh, acc_ref, ng, TP):
-    """Group-fused camera reduction of ``rows`` (list of (1,TP) f32) into
-    the resident accumulator acc_ref (ng*R, 128): row g*R+r holds
+    """Group-fused camera reduction of ``rows`` (list of (1,TP) f32 rows,
+    or an already-stacked (R,TP) array) into the resident accumulator
+    acc_ref (ng*R, 128): row g*R+r holds
     sum_{o: cam(o) = g*128+lo} rows[r][o] at lane lo. Exact to the
     two-term bf16 split (~2^-17 relative; 0/1 one-hot and masks are exact).
     The caller zeroes acc_ref at grid step 0 (pl.when).
     """
-    R = len(rows)
-    stack = jnp.concatenate(rows, axis=0)                    # (R, TP) f32
+    if isinstance(rows, (list, tuple)):
+        stack = jnp.concatenate(rows, axis=0)                # (R, TP) f32
+    else:
+        stack = rows
+    R = stack.shape[0]
     hi, lo_ = _split2(stack)
     g = (cam >> 7)[None, :]
     dn = (((1,), (1,)), ((), ()))
@@ -615,12 +630,13 @@ def _d1_kernel(camid_ref, lmloc_ref, uv_ref, is2_ref, valid_ref, free_ref,
     # Jl = -dproj @ R  (2 x 3)
     Jl0 = [-(a00 * Rr[j] + a02 * Rr[6 + j]) for j in range(3)]
     Jl1 = [-(a11 * Rr[3 + j] + a12 * Rr[6 + j]) for j in range(3)]
-    # W stream (free-masked: observations of fixed entities contribute no
-    # Schur coupling; their Hcc/Hll rows are overwritten host-side)
+    # W stream in J-MAJOR row order (row j*6+i = W[i,j] — see pack_w;
+    # free-masked: observations of fixed entities contribute no Schur
+    # coupling; their Hcc/Hll rows are overwritten host-side)
     wf = w * free_ref[0, :][None, :]
     for i in range(6):
         for j in range(3):
-            w_ref[i * 3 + j, :] = (
+            w_ref[j * 6 + i, :] = (
                 wf * (Jc0[i] * Jl0[j] + Jc1[i] * Jl1[j]))[0, :]
     aux_ref[0, :] = rho[0, :]
     aux_ref[1, :] = inlier[0, :]
@@ -670,19 +686,20 @@ def _d2_kernel(camid_ref, lmloc_ref, w_ref, h9_ref, acc_ref):
     h_hi, h_lo = _split2(h9_ref[:])
     G = (jnp.dot(h_hi, oh_lm, preferred_element_type=jnp.float32)
          + jnp.dot(h_lo, oh_lm, preferred_element_type=jnp.float32))
+    # J-MAJOR W stream: W[i,j] = w_ref[j*6+i]
     Wr = [w_ref[k, :][None, :] for k in range(18)]
     Gr = [G[k, :][None, :] for k in range(9)]
     WG = [None] * 18
     for i in range(6):
         for k in range(3):
-            WG[i * 3 + k] = (Wr[i * 3 + 0] * Gr[0 * 3 + k]
-                             + Wr[i * 3 + 1] * Gr[1 * 3 + k]
-                             + Wr[i * 3 + 2] * Gr[2 * 3 + k])
+            WG[i * 3 + k] = (Wr[0 * 6 + i] * Gr[0 * 3 + k]
+                             + Wr[1 * 6 + i] * Gr[1 * 3 + k]
+                             + Wr[2 * 6 + i] * Gr[2 * 3 + k])
     rows = []
     for (i, j) in PAIRS6:
-        rows.append(WG[i * 3 + 0] * Wr[j * 3 + 0]
-                    + WG[i * 3 + 1] * Wr[j * 3 + 1]
-                    + WG[i * 3 + 2] * Wr[j * 3 + 2])
+        rows.append(WG[i * 3 + 0] * Wr[0 * 6 + j]
+                    + WG[i * 3 + 1] * Wr[1 * 6 + j]
+                    + WG[i * 3 + 2] * Wr[2 * 6 + j])
     ng = acc_ref.shape[0] // D2_CAM_ROWS
 
     @pl.when(t == 0)
@@ -729,13 +746,7 @@ def _s_kernel(camid_ref, lmloc_ref, w_ref, vhi_ref, vlo_ref, h9_ref,
     ng = vhi_ref.shape[0] // 6
     g = (cam >> 7)[None, :]
     v_sel = _expand_cam_rows(res_scr[:], g, ng, 6, TP)
-    wtv = []
-    for j in range(3):
-        acc = w_ref[j, :][None, :] * v_sel[0]
-        for i in range(1, 6):
-            acc = acc + w_ref[i * 3 + j, :][None, :] * v_sel[i]
-        wtv.append(acc)
-    wtv = jnp.concatenate(wtv, axis=0)                       # (3, TP)
+    wtv = _wtv_jm(w_ref[:], v_sel, TP)                       # (3, TP)
     oh_lm = _lm_onehot(lmloc_ref[0, :], TP)
     dn = (((1,), (1,)), ((), ()))
     hi, lo_ = _split2(wtv)
@@ -756,18 +767,13 @@ def _s_kernel(camid_ref, lmloc_ref, w_ref, vhi_ref, vlo_ref, h9_ref,
     u_hi, u_lo = _split2(u3)
     ug = (jnp.dot(u_hi, oh_lm, preferred_element_type=jnp.float32)
           + jnp.dot(u_lo, oh_lm, preferred_element_type=jnp.float32))
-    rows = []
-    for i in range(6):
-        acc = w_ref[i * 3, :][None, :] * ug[0, :][None, :]
-        for j in range(1, 3):
-            acc = acc + w_ref[i * 3 + j, :][None, :] * ug[j, :][None, :]
-        rows.append(acc)
+    rows6 = _wu_jm(w_ref[:], ug, TP)                         # (6, TP)
 
     @pl.when(t == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    _cam_reduce_acc(rows, cam, oh_scr[:], acc_ref, ng, TP)
+    _cam_reduce_acc(rows6, cam, oh_scr[:], acc_ref, ng, TP)
 
 
 # -- host-side wrappers ------------------------------------------------------

@@ -823,7 +823,9 @@ def _gba_iteration_cm(state, K, fixed_cam, fixed_lm, C, L, seg, pcg_iters,
         plan = schur_pallas.SchurPlan(
             ntl=ntl, TP=TP, n_groups=ngrp, L_pad=L_pad,
             perm=sp_perm, camid=sp_camid, lmloc=sp_lmloc)
-        Wp = Wl_t.reshape(18, -1)
+        # kernels consume W in J-MAJOR row order (row j*6+i = W[i,j] —
+        # schur_pallas.pack_w): transpose the (6,3,O) block axes first
+        Wp = Wl_t.transpose(1, 0, 2).reshape(18, -1)
         H9 = jnp.pad(Hll_inv_t.reshape(9, L), ((0, 0), (0, L_pad - L)))
 
         def matvec(v):                                         # (C,6)

@@ -89,9 +89,11 @@ def test_d1_assembly_matches_ba_core():
     assert relerr(bl, bl_r) < tol
     assert abs(float(jnp.sum(aux[0])) - cost_r) / cost_r < 1e-4
     # W stream: gather the reference per-obs blocks onto tile slots
-    # (free-masked). Pad slots must be zero.
+    # (free-masked, J-MAJOR row order: row j*6+i = W[i,j] — see
+    # schur_pallas.pack_w). Pad slots must be zero.
     free = ~(fixed_cam[obs.cam_idx] | fixed_lm[obs.lm_idx])
-    Wref = jnp.where(free[:, None, None], Wcl_r, 0.0).reshape(-1, 18)
+    Wref = jnp.where(free[:, None, None], Wcl_r,
+                     0.0).transpose(0, 2, 1).reshape(-1, 18)
     Wref_z = jnp.concatenate([Wref, jnp.zeros((1, 18))], 0)
     Wref_s = Wref_z[tp.to_orig].T
     assert relerr(W18, Wref_s) < tol
