@@ -622,35 +622,54 @@ def _d1_kernel(camid_ref, lmloc_ref, uv_ref, is2_ref, valid_ref, free_ref,
     a02 = -fx * pc0 * iz * iz
     a11 = fy * iz
     a12 = -fy * pc1 * iz * iz
-    # Jc = -dproj @ [-hat(pc) | I]  (2 x 6), expanded per entry
-    Jc0 = [-(a02 * pc1), -(a00 * pc2 - a02 * pc0), a00 * pc1,
-           -a00, jnp.zeros_like(a00), -a02]
-    Jc1 = [a11 * pc2 - a12 * pc1, a12 * pc0, -a11 * pc0,
-           jnp.zeros_like(a11), -a11, -a12]
-    # Jl = -dproj @ R  (2 x 3)
-    Jl0 = [-(a00 * Rr[j] + a02 * Rr[6 + j]) for j in range(3)]
-    Jl1 = [-(a11 * Rr[3 + j] + a12 * Rr[6 + j]) for j in range(3)]
+    # Jc = -dproj @ [-hat(pc) | I]  (2 x 6): entries are irregular, built
+    # as (1,TP) rows and stacked ONCE — all downstream products then run
+    # on full (k,TP) slabs instead of (1,TP) rows (1/8 VPU width)
+    Jc0s = jnp.concatenate(
+        [-(a02 * pc1), -(a00 * pc2 - a02 * pc0), a00 * pc1,
+         -a00, jnp.zeros_like(a00), -a02], axis=0)           # (6, TP)
+    Jc1s = jnp.concatenate(
+        [a11 * pc2 - a12 * pc1, a12 * pc0, -a11 * pc0,
+         jnp.zeros_like(a11), -a11, -a12], axis=0)           # (6, TP)
+    # Jl = -dproj @ R  (2 x 3) on (3,TP) slabs
+    R0s = jnp.concatenate([Rr[0], Rr[1], Rr[2]], axis=0)     # (3, TP)
+    R1s = jnp.concatenate([Rr[3], Rr[4], Rr[5]], axis=0)
+    R2s = jnp.concatenate([Rr[6], Rr[7], Rr[8]], axis=0)
+    Jl0s = -(a00 * R0s + a02 * R2s)                          # (3, TP)
+    Jl1s = -(a11 * R1s + a12 * R2s)                          # (3, TP)
+
+    def rep(x, k):
+        """(1,TP) row -> (k,TP) sublane broadcast."""
+        return jnp.broadcast_to(x, (k, TP))
+
+    def tile_rows(x, k):
+        """(r,TP) slab tiled k times -> (k*r, TP)."""
+        return jnp.concatenate([x] * k, axis=0)
+
     # W stream in J-MAJOR row order (row j*6+i = W[i,j] — see pack_w;
     # free-masked: observations of fixed entities contribute no Schur
-    # coupling; their Hcc/Hll rows are overwritten host-side)
+    # coupling; their Hcc/Hll rows are overwritten host-side). One
+    # (18,TP) expression: rows j*6+i = wf * (Jc0[i]Jl0[j] + Jc1[i]Jl1[j]).
     wf = w * free_ref[0, :][None, :]
-    for i in range(6):
-        for j in range(3):
-            w_ref[j * 6 + i, :] = (
-                wf * (Jc0[i] * Jl0[j] + Jc1[i] * Jl1[j]))[0, :]
+    Jl0_18 = jnp.concatenate(
+        [rep(Jl0s[j:j + 1], 6) for j in range(3)], axis=0)   # (18, TP)
+    Jl1_18 = jnp.concatenate(
+        [rep(Jl1s[j:j + 1], 6) for j in range(3)], axis=0)
+    w_ref[:] = wf * (tile_rows(Jc0s, 3) * Jl0_18
+                     + tile_rows(Jc1s, 3) * Jl1_18)
     aux_ref[0, :] = rho[0, :]
     aux_ref[1, :] = inlier[0, :]
     aux_ref[2, :] = chi2[0, :]
     aux_ref[3:8, :] = jnp.zeros((5, TP), jnp.float32)
-    # landmark-reduced Hll (9 rows) + bl (3 rows): exact-split dots against
-    # the tile-local one-hot
-    lm_rows = []
-    for j in range(3):
-        for k in range(3):
-            lm_rows.append(w * (Jl0[j] * Jl0[k] + Jl1[j] * Jl1[k]))
-    for j in range(3):
-        lm_rows.append(-w * (Jl0[j] * rx + Jl1[j] * ry))
-    lm_stack = jnp.concatenate(lm_rows, axis=0)              # (12, TP)
+    # landmark-reduced Hll (9 rows, j*3+k) + bl (3 rows): slab products,
+    # then exact-split dots against the tile-local one-hot
+    Jl0_9 = jnp.concatenate(
+        [rep(Jl0s[j:j + 1], 3) for j in range(3)], axis=0)   # (9, TP)
+    Jl1_9 = jnp.concatenate(
+        [rep(Jl1s[j:j + 1], 3) for j in range(3)], axis=0)
+    lm9 = w * (Jl0_9 * tile_rows(Jl0s, 3) + Jl1_9 * tile_rows(Jl1s, 3))
+    bl3 = -w * (Jl0s * rx + Jl1s * ry)                       # (3, TP)
+    lm_stack = jnp.concatenate([lm9, bl3], axis=0)           # (12, TP)
     hi, lo_ = _split2(lm_stack)
     dn = (((1,), (1,)), ((), ()))
     hll_ref[:] = (
@@ -659,18 +678,21 @@ def _d1_kernel(camid_ref, lmloc_ref, uv_ref, is2_ref, valid_ref, free_ref,
         + jax.lax.dot_general(lo_, oh_lm, dn,
                               preferred_element_type=jnp.float32)
     )
-    # camera-reduced Hcc upper triangle (21) + bc (6)
-    cam_rows = []
-    for (i, j) in PAIRS6:
-        cam_rows.append(w * (Jc0[i] * Jc0[j] + Jc1[i] * Jc1[j]))
-    for i in range(6):
-        cam_rows.append(-w * (Jc0[i] * rx + Jc1[i] * ry))
+    # camera-reduced Hcc upper triangle (21, PAIRS6 order = 6 slabs of
+    # rows (i, j>=i)) + bc (6): per-slab products at (6-i, TP)
+    cam_rows = [
+        w * (rep(Jc0s[i:i + 1], 6 - i) * Jc0s[i:]
+             + rep(Jc1s[i:i + 1], 6 - i) * Jc1s[i:])
+        for i in range(6)
+    ]
+    cam_rows.append(-w * (Jc0s * rx + Jc1s * ry))            # bc (6, TP)
 
     @pl.when(t == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    _cam_reduce_acc(cam_rows, cam, oh, acc_ref, ng, TP)
+    _cam_reduce_acc(jnp.concatenate(cam_rows, axis=0), cam, oh, acc_ref,
+                    ng, TP)
 
 
 def _d2_kernel(camid_ref, lmloc_ref, w_ref, h9_ref, acc_ref):
@@ -686,20 +708,27 @@ def _d2_kernel(camid_ref, lmloc_ref, w_ref, h9_ref, acc_ref):
     h_hi, h_lo = _split2(h9_ref[:])
     G = (jnp.dot(h_hi, oh_lm, preferred_element_type=jnp.float32)
          + jnp.dot(h_lo, oh_lm, preferred_element_type=jnp.float32))
-    # J-MAJOR W stream: W[i,j] = w_ref[j*6+i]
-    Wr = [w_ref[k, :][None, :] for k in range(18)]
+    # J-MAJOR W stream: W[i,j] = w_ref[j*6+i]; all products on full
+    # (6,TP)/(6-i,TP) slabs. WG[:,k] = sum_j W[:,j] G[j,k] — the W[:,j]
+    # slabs w_ref[j*6:(j+1)*6] are 6-row-aligned blocks.
+    w6 = [w_ref[j * 6:(j + 1) * 6, :] for j in range(3)]     # 3 x (6, TP)
     Gr = [G[k, :][None, :] for k in range(9)]
-    WG = [None] * 18
-    for i in range(6):
-        for k in range(3):
-            WG[i * 3 + k] = (Wr[0 * 6 + i] * Gr[0 * 3 + k]
-                             + Wr[1 * 6 + i] * Gr[1 * 3 + k]
-                             + Wr[2 * 6 + i] * Gr[2 * 3 + k])
+    WGs = [
+        (w6[0] * jnp.broadcast_to(Gr[0 * 3 + k], (6, TP))
+         + w6[1] * jnp.broadcast_to(Gr[1 * 3 + k], (6, TP))
+         + w6[2] * jnp.broadcast_to(Gr[2 * 3 + k], (6, TP)))
+        for k in range(3)
+    ]                                                        # WGs[k][i]
+    # S66 upper triangle rows (i, j>=i) = sum_k WG[i,k] W[j,k]: per-i
+    # slabs of (6-i, TP) — PAIRS6 order
     rows = []
-    for (i, j) in PAIRS6:
-        rows.append(WG[i * 3 + 0] * Wr[0 * 6 + j]
-                    + WG[i * 3 + 1] * Wr[1 * 6 + j]
-                    + WG[i * 3 + 2] * Wr[2 * 6 + j])
+    for i in range(6):
+        acc = None
+        for k in range(3):
+            part = (jnp.broadcast_to(WGs[k][i:i + 1, :], (6 - i, TP))
+                    * w_ref[k * 6 + i:(k + 1) * 6, :])
+            acc = part if acc is None else acc + part
+        rows.append(acc)
     ng = acc_ref.shape[0] // D2_CAM_ROWS
 
     @pl.when(t == 0)
