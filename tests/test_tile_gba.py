@@ -158,3 +158,23 @@ def test_tile_gba_dynamic_iterations_no_retrace():
     c2 = float(gba(Tcw_i, pts_i, obs, K, fixed_cam, fixed_lm,
                    n_iterations=6).cost)
     assert c2 <= c1 * 1.05
+
+
+def test_tile_gba_reject_branch_monotone():
+    """Speculative linearization: starting AT a converged optimum, LM
+    steps keep getting rejected (cost cannot improve) — the carried state
+    and its classification must stay consistent and the cost must never
+    increase across extra iterations."""
+    rng = np.random.default_rng(9)
+    Tcw_i, pts_i, obs, fixed_cam, fixed_lm, _, _ = _perturbed(
+        rng, n_cams=5, n_pts=100)
+    gba = sharded_ba.make_tile_gba(None, pcg_iters=15)
+    r0 = gba(Tcw_i, pts_i, obs, K, fixed_cam, fixed_lm, n_iterations=8)
+    # re-run FROM the optimum: every further candidate is ~rejected
+    r1 = gba(r0.Tcw, r0.Xw, obs, K, fixed_cam, fixed_lm, n_iterations=4)
+    assert float(r1.cost) <= float(r0.cost) * (1.0 + 1e-5)
+    assert float(jnp.abs(r1.Tcw - r0.Tcw).max()) < 5e-3
+    # classification of the carried state matches a fresh n_iterations=0
+    # pass at the same state
+    r2 = gba(r1.Tcw, r1.Xw, obs, K, fixed_cam, fixed_lm, n_iterations=0)
+    assert bool(jnp.all(r1.obs_inlier == r2.obs_inlier))
