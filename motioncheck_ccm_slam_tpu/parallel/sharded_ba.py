@@ -453,11 +453,12 @@ def _tile_iteration(state, K4, fixed_cam, fixed_lm_loc, C, ng, TP, L_loc,
     S_diag = Hcc_d - schur_pallas.sym6_from_tri(S21)
     M_inv = ba_core.inv66_spd(S_diag + 1e-6 * eye6[None])
 
-    # PCG sweep kernel choice: the fused S kernel reads W once per sweep,
-    # but the split A+B pair measured faster on the v5e (5.9 vs 7.1 ms —
-    # S's larger VMEM working set costs more than the extra W read saves).
-    # MCSLAM_TILE_SWEEP=s forces the fused kernel.
-    if os.environ.get("MCSLAM_TILE_SWEEP", "ab") == "s":
+    # PCG sweep kernel choice: after the j-major/slab-batched kernel
+    # rewrite the fused S kernel wins on the v5e (4.15 vs 2.46+3.03 ms at
+    # the 2048-KF operating point — one W read per sweep, u never leaves
+    # VMEM); before it, the split pair's smaller VMEM working set won
+    # (5.9 vs 7.1 ms). MCSLAM_TILE_SWEEP=ab forces the split pair.
+    if os.environ.get("MCSLAM_TILE_SWEEP", "s") == "s":
         def matvec(v):
             Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
             return Hv - reduce(schur_pallas.s_apply(
