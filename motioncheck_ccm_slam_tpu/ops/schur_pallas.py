@@ -580,14 +580,24 @@ def _pose_point_streams(camid_ref, lmloc_ref, t0_ref, t1_ref, t2_ref,
 
 def _project(Rr, tr, X, uv_ref, is2_ref, valid_ref, kp_ref):
     """Reprojection pipeline on (1,TP) rows. Returns
-    (pc rows[3], iz, rx, ry, chi2, w, rho, inlier, depth_f, valid)."""
+    (pc rows[3], iz, rx, ry, chi2, w, rho, inlier, depth_f, valid).
+
+    The R@X+t contraction runs on one (9,TP) slab (full VPU width); the
+    scalar chain after it is inherently row-wise."""
     fx = kp_ref[0, 0]
     fy = kp_ref[0, 1]
     cx = kp_ref[0, 2]
     cy = kp_ref[0, 3]
-    pc0 = Rr[0] * X[0] + Rr[1] * X[1] + Rr[2] * X[2] + tr[0]
-    pc1 = Rr[3] * X[0] + Rr[4] * X[1] + Rr[5] * X[2] + tr[1]
-    pc2 = Rr[6] * X[0] + Rr[7] * X[1] + Rr[8] * X[2] + tr[2]
+    R9 = jnp.concatenate(Rr[0:9], axis=0)                    # (9, TP)
+    X3 = jnp.concatenate(X, axis=0)                          # (3, TP)
+    prod = R9 * jnp.concatenate([X3, X3, X3], axis=0)        # (9, TP)
+    t3 = jnp.concatenate(tr, axis=0)                         # (3, TP)
+    pc3 = jnp.concatenate(
+        [jnp.sum(prod[3 * i:3 * i + 3], axis=0, keepdims=True)
+         for i in range(3)], axis=0) + t3                    # (3, TP)
+    pc0 = pc3[0:1, :]
+    pc1 = pc3[1:2, :]
+    pc2 = pc3[2:3, :]
     depth_f = (pc2 > 1e-6).astype(jnp.float32)
     zs = jnp.where(pc2 > 1e-6, pc2, 1.0)
     iz = 1.0 / zs

@@ -74,8 +74,36 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--skip-mc-off", action="store_true",
                     help="skip the Motion-Check-disabled comparison pass")
+    ap.add_argument("--merge", action="store_true",
+                    help="assemble BENCH_accuracy.json from existing "
+                         "<out>/mc_on/stats.json + <out>/mc_off/stats.json "
+                         "(the two passes can be run as concurrent "
+                         "processes — the run is host/tunnel-latency "
+                         "bound, not chip bound)")
     ap.add_argument("--out", default="/tmp/bench_accuracy")
     args = ap.parse_args()
+
+    if args.merge:
+        result = {
+            "metric": "ring_multi_agent_accuracy",
+            "agents": args.agents,
+            "frames_per_agent": args.frames,
+            "preset": "small" if args.small else "full",
+        }
+        for leg in ("mc_on", "mc_off"):
+            p = os.path.join(args.out, leg, "stats.json")
+            with open(p) as f:
+                result[leg] = summarize(json.load(f))
+        on = result["mc_on"]["ate_rmse_m_mean"]
+        off = result["mc_off"]["ate_rmse_m_mean"]
+        if on is not None and off is not None:
+            result["mc_delta_rmse_m"] = round(off - on, 4)
+        path = os.path.join(ROOT, "BENCH_accuracy.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result, indent=2))
+        print(f"wrote {path}")
+        return
 
     result = {
         "metric": "ring_multi_agent_accuracy",
