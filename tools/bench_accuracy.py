@@ -92,10 +92,13 @@ def main():
         }
         for leg in ("mc_on", "mc_off"):
             p = os.path.join(args.out, leg, "stats.json")
-            with open(p) as f:
-                result[leg] = summarize(json.load(f))
+            if os.path.exists(p):
+                with open(p) as f:
+                    result[leg] = summarize(json.load(f))
+        if "mc_on" not in result:
+            raise SystemExit("no mc_on stats to merge")
         on = result["mc_on"]["ate_rmse_m_mean"]
-        off = result["mc_off"]["ate_rmse_m_mean"]
+        off = result.get("mc_off", {}).get("ate_rmse_m_mean")
         if on is not None and off is not None:
             result["mc_delta_rmse_m"] = round(off - on, 4)
         path = os.path.join(ROOT, "BENCH_accuracy.json")
