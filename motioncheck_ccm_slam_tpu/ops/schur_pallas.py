@@ -446,9 +446,16 @@ def schur_apply(plan: SchurPlan, Wp, v, Hll_inv9, *, interpret: bool = False):
 #                      Hcc+bc accumulator (ng*27, 128).
 #   D2 (precond):   W + Hll_inv -> camera-reduced true-Schur-diagonal
 #                   correction (ng*21, 128).
-#   D0 (cost):      candidate pose tables + X tiles -> robust-cost scalar.
+#   D0 (cost):      pose tables + X tiles -> robust-cost scalar (kernel
+#                   micro-bench / standalone cost only: the LM loop prices
+#                   candidates with D1 itself — speculative linearization,
+#                   sharded_ba._tile_iteration).
 #   S  (sweep):     W + v -> per-camera W Hll^-1 W^T v in ONE pass (kernels
 #                   A and B fused; u never leaves VMEM).
+#
+# The W stream and all slab products use the J-MAJOR row order (row
+# j*6+i = W[i,j], see pack_w) so the VPU operates on full (18,TP)/(6,TP)
+# blocks instead of (1,TP) rows.
 #
 # Per-observation data never re-enters HBM between "gather", "Jacobian",
 # "product" and "reduce" stages; the only large HBM arrays per iteration are

@@ -340,7 +340,7 @@ def make_sharded_gba(mesh: Mesh, iterations: int = 5, pcg_iters: int = 25):
 
 # ---------------------------------------------------------------------------
 # Tile-stream GBA (round 5): the whole LM iteration on the padded
-# landmark-tile stream via the fused Pallas kernels (schur_pallas D1/D2/D0/S).
+# landmark-tile stream via the fused Pallas kernels (schur_pallas D1/D2/S).
 #
 # Layout: the plan lays observations out in landmark-aligned tiles
 # (schur_pallas.build_schur_plan). EVERY landmark-side quantity (Hll, bl,
