@@ -25,9 +25,16 @@ from ..solvers import ba_core, local_ba
 from . import map_state as ms
 from .frame import Frame
 
-N_TRIANG_NEIGHBORS = 5     # covis neighbors used for triangulation (the
-                           # reference uses 20 serial searches; 5 batched
-                           # neighbors cover the same covis mass)
+N_TRIANG_NEIGHBORS = 20    # covis neighbors used for triangulation
+                           # (reference CreateNewMapPoints searches 20,
+                           # src/Mapping.cpp:302). 5 was tried and starves
+                           # slow-motion runs: the strongest-covis
+                           # neighbors are the NEAREST KFs, whose baselines
+                           # fail the 1.15-degree triangulation parallax
+                           # gate — on the ring world the map thinned to
+                           # ~600 landmarks and tracking bled out. The
+                           # wide-baseline pairs among 20 neighbors are
+                           # what keep landmark creation alive.
 
 
 def covis_neighbors_of(m: ms.MapState, slot: int,

@@ -309,7 +309,19 @@ def initialize_two_view(
         # sorted cos, index min(50,N)-1) — gates low-baseline bootstraps
         cos_sorted = jnp.sort(jnp.where(good, cosp, 1.0))
         kth = jnp.clip(jnp.minimum(ng, 50) - 1, 0, cosp.shape[0] - 1)
-        par50s.append(jnp.degrees(jnp.arccos(jnp.clip(cos_sorted[kth], -1.0, 1.0))))
+        # ALSO gate on the median parallax: with hundreds of matches the
+        # 50th-best point is the top few percent, and triangulation noise
+        # at a near-zero true baseline inflates exactly that tail (a
+        # 0.6-degree-parallax bootstrap passed the 50th-best-only gate).
+        # The median is more noise-robust — it defers the wall-world
+        # bootstrap from frame 1 to frame ~4 — though reconstructed
+        # parallax remains noise-inflated at degenerate baselines, so this
+        # tightens rather than closes the leak; landmark-creation health
+        # (mapping.N_TRIANG_NEIGHBORS) is what makes weak bootstraps
+        # recoverable.
+        med = jnp.clip((ng - 1) // 2, 0, cosp.shape[0] - 1)
+        cos_km = jnp.maximum(cos_sorted[kth], cos_sorted[med])
+        par50s.append(jnp.degrees(jnp.arccos(jnp.clip(cos_km, -1.0, 1.0))))
     n_goods = jnp.stack(n_goods)           # (12,)
     ptss = jnp.stack(ptss)                 # (12, N, 3)
     goods = jnp.stack(goods)               # (12, N)

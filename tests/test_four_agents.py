@@ -37,8 +37,9 @@ def four_agent_run():
             else OffsetScene(cfg, offset_y=0.12 * cid, n_points=500,
                              seed=3, speed=0.9)
         )
-    seqs = [list(s.sequence(26)) for s in scenes]
-    for i in range(26):
+    # 32 frames: the median-parallax init gate defers bootstrap to ~frame 4
+    seqs = [list(s.sequence(32)) for s in scenes]
+    for i in range(32):
         for cid, c in enumerate(clients):
             t, _, img = seqs[cid][i]
             c.process_image(img, t)

@@ -67,10 +67,11 @@ def two_agent_run():
             else OffsetScene(cfg, offset_y=0.15, n_points=500, seed=3,
                              speed=0.9)
         )
-    # 26 frames: the MapMatcher's covisibility-consistency gate needs 3
-    # consecutive cross-map detections (kf 2,3,4) before it will merge
-    seqs = [list(s.sequence(26)) for s in scenes]
-    for i in range(26):
+    # 32 frames: the MapMatcher's covisibility-consistency gate needs 3
+    # consecutive cross-map detections (kf 2,3,4) before it will merge,
+    # and the median-parallax init gate defers bootstrap to ~frame 4
+    seqs = [list(s.sequence(32)) for s in scenes]
+    for i in range(32):
         for cid, c in enumerate(clients):
             t, _, img = seqs[cid][i]
             c.process_image(img, t)
