@@ -3,9 +3,10 @@
 One long-lived pytest process accumulates hundreds of XLA:CPU compiled
 programs and eventually SEGFAULTS inside ``backend_compile_and_load``
 (observed at ~47% of a 146-test run, exit 139, RSS well under the box's
-RAM — an upstream XLA bug tied to process-cumulative compiler state, not
-to any single test: every chunk passes in a fresh process). Until that is
-fixed upstream, this runner is the one-command way to run EVERYTHING:
+RAM). Root cause: each compiled program adds several small mmap'd
+sections and the kernel's default vm.max_map_count (65530) runs out —
+raise it (sysctl -w vm.max_map_count=1048576) or use this runner, the
+one-command way to run EVERYTHING at any map-count limit:
 it partitions the test files into a few chunks, runs each in a fresh
 subprocess, and aggregates the results.
 
